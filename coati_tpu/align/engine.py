@@ -1,0 +1,263 @@
+"""Batch alignment engine: length bucketing, kernel dispatch, host traceback.
+
+The TPU kernel (wavefront.py) fills backpointers for whole padded batches;
+the traceback walk is inherently sequential per pair but is vectorized
+ACROSS pairs here (every pair advances one step per iteration), so a 10k-pair
+batch tracebacks in O(max_path_len) numpy steps rather than O(sum of
+path lengths) Python steps.
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from coati_tpu.align.wavefront import gap_consts_array, wavefront
+from coati_tpu.constants import F32_LOWEST
+
+# persistent compilation cache: the wavefront scan compiles once per padded
+# shape; cache survives across CLI invocations
+if jax.config.jax_compilation_cache_dir is None:  # pragma: no branch
+    import os as _os
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.expanduser("~/.cache/coati_tpu_xla"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+@dataclasses.dataclass
+class AlignResult:
+    seq0: str
+    seq1: str
+    score: float
+
+
+def _argmax_mdi_np(m, d, i):
+    """Vectorized reference max_mdi preference (M unless D>, I only if > both)."""
+    code = np.where(d > m, 1, 0).astype(np.int8)
+    best = np.maximum(m, d)
+    return np.where(i > best, 2, code).astype(np.int8)
+
+
+def _round_up(x: int, q: int) -> int:
+    return ((x + q - 1) // q) * q
+
+
+# Below this many cells per kernel call the CPU backend is used: XLA CPU
+# compiles in <1s while a (possibly remote) TPU pays seconds-to-minutes of
+# init/compile latency that only amortizes over large batches. Overridable
+# via COATI_TPU_FORCE_PLATFORM=tpu|cpu.
+SMALL_CALL_CELLS = 1 << 24
+
+
+def _device_for(cells: int):
+    import os
+
+    force = os.environ.get("COATI_TPU_FORCE_PLATFORM", "")
+    if force == "cpu" or (not force and cells < SMALL_CALL_CELLS):
+        # touch only the CPU backend: initializing a (remote) TPU backend
+        # can cost seconds-to-minutes and is wasted on small calls
+        try:
+            return jax.devices("cpu")[0]
+        except RuntimeError:
+            return jax.devices()[0]
+    default = jax.devices()[0]
+    if default.platform == "cpu":
+        try:
+            return jax.devices("cpu")[0]
+        except RuntimeError:
+            pass
+    return default
+
+
+def traceback_batch(bp, corners, lens_a, lens_b, a_strs, b_strs, k):
+    """Walk packed backpointers for a whole batch at once.
+
+    bp: [Dtot, B, C] uint8 (diagonal-major), corners: (cM, cD, cI) [B] f32
+    (terminal-adjusted). Returns list of AlignResult.
+    """
+    cM, cD, cI = (np.asarray(c) for c in corners)
+    B = len(a_strs)
+    lens_a = np.asarray(lens_a)
+    lens_b = np.asarray(lens_b)
+    i = lens_a + (k - 1)
+    j = lens_b + (k - 1)
+    st = _argmax_mdi_np(cM, cD, cI)
+    score = np.maximum(cM, np.maximum(cD, cI))
+
+    rows = np.arange(B)
+    ops_rev: list[np.ndarray] = []
+    active = (i > k - 1) | (j > k - 1)
+    while active.any():
+        codes = bp[i + j, rows, j]
+        ops_rev.append(np.where(active, st, -1).astype(np.int8))
+        nxt_m = codes & 3
+        nxt_d = (codes >> 2) & 3
+        nxt_i = (codes >> 4) & 3
+        nxt = np.where(st == 0, nxt_m, np.where(st == 1, nxt_d, nxt_i)).astype(np.int8)
+        di = np.where(st == 0, 1, np.where(st == 1, k, 0))
+        dj = np.where(st == 0, 1, np.where(st == 1, 0, k))
+        i = np.where(active, i - di, i)
+        j = np.where(active, j - dj, j)
+        st = np.where(active, nxt, st)
+        active = (i > k - 1) | (j > k - 1)
+
+    if ops_rev:
+        ops = np.stack(ops_rev[::-1], axis=0)  # forward order, [steps, B]
+    else:
+        ops = np.zeros((0, B), dtype=np.int8)
+
+    results = []
+    gaps = "-" * k
+    for p in range(B):
+        a, b = a_strs[p], b_strs[p]
+        s0: list[str] = []
+        s1: list[str] = []
+        ai = bi = 0
+        for op in ops[:, p]:
+            if op == 0:
+                s0.append(a[ai])
+                s1.append(b[bi])
+                ai += 1
+                bi += 1
+            elif op == 1:
+                s0.append(a[ai : ai + k])
+                s1.append(gaps)
+                ai += k
+            elif op == 2:
+                s0.append(gaps)
+                s1.append(b[bi : bi + k])
+                bi += k
+        results.append(AlignResult("".join(s0), "".join(s1), float(score[p])))
+    return results
+
+
+def _pad_batch(enc_as, enc_bs, quantum):
+    B = len(enc_as)
+    na = max(len(a) for a in enc_as)
+    nb = max(len(b) for b in enc_bs)
+    NA = max(_round_up(na, quantum), quantum)
+    NB = max(_round_up(nb, quantum), quantum)
+    aseq = np.zeros((B, NA), dtype=np.int32)
+    bseq = np.zeros((B, NB), dtype=np.int32)
+    lens_a = np.zeros(B, dtype=np.int32)
+    lens_b = np.zeros(B, dtype=np.int32)
+    for p, (a, b) in enumerate(zip(enc_as, enc_bs)):
+        aseq[p, : len(a)] = a
+        bseq[p, : len(b)] = b
+        lens_a[p] = len(a)
+        lens_b[p] = len(b)
+    return aseq, bseq, lens_a, lens_b
+
+
+def viterbi_align_batch(
+    enc_as,
+    enc_bs,
+    a_strs,
+    b_strs,
+    table,
+    gap,
+    quantum: int = 64,
+    max_batch_cells: int = 1 << 28,
+) -> list[AlignResult]:
+    """Align many pairs: bucket by padded shape, run the wavefront kernel per
+    bucket, traceback on host. Results keep input order."""
+    k = int(gap.len)
+    gc = gap_consts_array(gap)
+    table32 = np.asarray(table, dtype=np.float32)
+
+    buckets: dict[tuple[int, int], list[int]] = collections.defaultdict(list)
+    for idx, (a, b) in enumerate(zip(enc_as, enc_bs)):
+        qa = max(_round_up(len(a), quantum), quantum)
+        qb = max(_round_up(len(b), quantum), quantum)
+        buckets[(qa, qb)].append(idx)
+
+    results: list[AlignResult | None] = [None] * len(enc_as)
+    for (qa, qb), idxs in buckets.items():
+        cells = (qa + k) * (qb + k)
+        max_b = max(1, max_batch_cells // cells)
+        for s in range(0, len(idxs), max_b):
+            chunk = idxs[s : s + max_b]
+            aseq, bseq, la, lb = _pad_batch(
+                [enc_as[i] for i in chunk], [enc_bs[i] for i in chunk], quantum
+            )
+            dev = _device_for(len(chunk) * cells)
+            with jax.default_device(dev):
+                corners, bp = wavefront(
+                    jnp.asarray(aseq),
+                    jnp.asarray(bseq),
+                    jnp.asarray(la),
+                    jnp.asarray(lb),
+                    jnp.asarray(table32),
+                    jnp.asarray(gc),
+                    k=k,
+                    semiring="tropical",
+                    mode="viterbi",
+                )
+            corners = jax.device_get(corners)
+            bp = np.asarray(jax.device_get(bp))
+            out = traceback_batch(
+                bp,
+                corners,
+                la,
+                lb,
+                [a_strs[i] for i in chunk],
+                [b_strs[i] for i in chunk],
+                k,
+            )
+            for i, r in zip(chunk, out):
+                results[i] = r
+    return results  # type: ignore[return-value]
+
+
+def viterbi_align_single(enc_a, enc_b, a_str, b_str, table, gap) -> tuple:
+    r = viterbi_align_batch([enc_a], [enc_b], [a_str], [b_str], table, gap)[0]
+    return r.seq0, r.seq1, r.score
+
+
+def viterbi_scores_batch(
+    enc_as, enc_bs, table, gap, quantum: int = 64, max_batch_cells: int = 1 << 28
+) -> np.ndarray:
+    """Score-only Viterbi (no traceback storage) — O(diagonal) memory."""
+    k = int(gap.len)
+    gc = gap_consts_array(gap)
+    table32 = np.asarray(table, dtype=np.float32)
+
+    buckets: dict[tuple[int, int], list[int]] = collections.defaultdict(list)
+    for idx, (a, b) in enumerate(zip(enc_as, enc_bs)):
+        qa = max(_round_up(len(a), quantum), quantum)
+        qb = max(_round_up(len(b), quantum), quantum)
+        buckets[(qa, qb)].append(idx)
+
+    scores = np.zeros(len(enc_as), dtype=np.float32)
+    for (qa, qb), idxs in buckets.items():
+        cells = (qa + k) * (qb + k)
+        max_b = max(1, max_batch_cells // cells)
+        for s in range(0, len(idxs), max_b):
+            chunk = idxs[s : s + max_b]
+            aseq, bseq, la, lb = _pad_batch(
+                [enc_as[i] for i in chunk], [enc_bs[i] for i in chunk], quantum
+            )
+            dev = _device_for(len(chunk) * cells)
+            with jax.default_device(dev):
+                (cm, cd, ci), _ = wavefront(
+                    jnp.asarray(aseq),
+                    jnp.asarray(bseq),
+                    jnp.asarray(la),
+                    jnp.asarray(lb),
+                    jnp.asarray(table32),
+                    jnp.asarray(gc),
+                    k=k,
+                    semiring="tropical",
+                    mode="score",
+                )
+            sc = np.maximum(np.asarray(cm), np.maximum(np.asarray(cd), np.asarray(ci)))
+            scores[chunk] = sc
+    return scores

@@ -1,0 +1,228 @@
+"""Batched anti-diagonal wavefront pair-HMM DP for TPU (XLA path).
+
+TPU-first re-design of the reference's sequential cell loop
+(align_pair.cc:94-129): one lax.scan step per anti-diagonal d = i + j,
+computing every cell of the diagonal for every pair in the batch as wide
+VPU vector ops. The anti-diagonal order preserves the reference's exact
+per-cell float32 operation order (every cell depends only on earlier
+diagonals), so Viterbi results — including tie-breaking and therefore gap
+placement — match the C++ implementation.
+
+Layout: diagonal buffers are indexed by absolute column j (slot), shape
+[B, C] with C = NB + k. Cell (i, j) lives on diagonal d = i + j at slot j.
+Recurrence sources:
+    match   <- diagonal d-2,  slot j-1   (i-1, j-1)
+    delete  <- diagonal d-k,  slot j     (i-k, j)
+    insert  <- diagonal d-k,  slot j-k   (i,   j-k)
+so the scan carries a ring of the last max(k, 2) diagonals in registers/VMEM.
+
+Outputs per mode:
+    viterbi: packed 5-bit backpointers per cell (uint8, one byte per cell —
+             12x smaller than the reference's three f32 matrices) plus the
+             terminal-adjusted corner (M, D, I) scores per pair.
+    forward: full (M, D, I) diagonals for stochastic traceback.
+    score:   corner scores only (O(diag) memory).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coati_tpu.constants import F32_LOWEST
+
+LOWEST = jnp.float32(F32_LOWEST)
+
+
+def _lse(a, b):
+    """f32 logSumExp mirroring the reference's piecewise log1p_exp
+    (utils.hpp:134-156)."""
+    mx = jnp.maximum(a, b)
+    y = -jnp.abs(a - b)
+    t = jnp.where(
+        y <= jnp.float32(-16.0),
+        jnp.exp(y),
+        jnp.log1p(jnp.exp(jnp.minimum(y, jnp.float32(0.0)))),
+    )
+    return mx + t
+
+
+def _shift_right(x, s):
+    """result[..., j] = x[..., j-s] with LOWEST fill."""
+    if s == 0:
+        return x
+    pad = jnp.full(x.shape[:-1] + (s,), LOWEST, dtype=x.dtype)
+    return jnp.concatenate([pad, x[..., :-s]], axis=-1)
+
+
+def _argmax_mdi(m, d, i):
+    """Reference max_mdi tie-preference: M unless D strictly greater,
+    I only if strictly greater than both (align_pair.cc:210-221)."""
+    code = jnp.where(d > m, jnp.uint8(1), jnp.uint8(0))
+    best = jnp.maximum(m, d)
+    return jnp.where(i > best, jnp.uint8(2), code)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "semiring", "mode", "unroll")
+)
+def wavefront(
+    aseq,  # [B, NA] int32 in [0, 183) (padded with 0)
+    bseq,  # [B, NB] int32 in [0, 15)  (padded with 0)
+    lens_a,  # [B] int32 true ancestor lengths
+    lens_b,  # [B] int32 true descendant lengths
+    table,  # [183, 15] float32 marginal log-odds
+    gap_consts,  # [4] float32: (no_gap, gap_stop, gap_open, gap_extend)
+    *,
+    k: int,
+    semiring: str = "tropical",
+    mode: str = "viterbi",
+    unroll: int = 1,
+):
+    B, NA = aseq.shape
+    NB = bseq.shape[1]
+    R = NA + k
+    C = NB + k
+    Dtot = R + C - 1
+
+    ng, gs, go, ge = (gap_consts[i] for i in range(4))
+    gek1 = ge * jnp.float32(k - 1)
+    gek = ge * jnp.float32(k)
+
+    if semiring == "tropical":
+        plus2 = jnp.maximum
+    elif semiring == "log":
+        plus2 = _lse
+    else:
+        raise ValueError(semiring)
+
+    # --- emission lookup setup ------------------------------------------------
+    # Cell (i, j) on diagonal d uses table[a[d-j-k], b[j-k]]. We slice a
+    # reversed, padded copy of `a` so slot j of diagonal d reads a[d-j-k].
+    table_flat = table.reshape(-1)
+    a_rev = jnp.flip(aseq, axis=1)  # a_rev[t] = a[NA-1-t]
+    a_rev_pad = jnp.pad(a_rev, ((0, 0), (C, C + k)), constant_values=0)
+    # b at slot j (j >= k): b[j-k]
+    b_slot = jnp.pad(bseq, ((0, 0), (k, 0)), constant_values=0)  # [B, C]
+
+    j_iota = jnp.arange(C, dtype=jnp.int32)
+
+    corner_d = lens_a + lens_b + jnp.int32(2 * (k - 1))  # [B]
+    corner_j = lens_b + jnp.int32(k - 1)  # [B]
+
+    K = max(k, 2)
+
+    def empty_diag():
+        return jnp.full((B, C), LOWEST, dtype=jnp.float32)
+
+    def margins(d):
+        """Values for margin cells of diagonal d (i==k-1 row / j==k-1 col)."""
+        i_vec = d - j_iota  # [C]
+        jf = j_iota.astype(jnp.float32)
+        if_ = i_vec.astype(jnp.float32)
+        m_marg = jnp.where(
+            (i_vec == k - 1) & (j_iota == k - 1), jnp.float32(0.0), LOWEST
+        )
+        ins_ok = (
+            (i_vec == k - 1)
+            & (j_iota >= 2 * k - 1)
+            & ((j_iota - (k - 1)) % k == 0)
+        )
+        i_marg = jnp.where(ins_ok, go + ge * (jf - 1.0), LOWEST)
+        del_ok = (
+            (j_iota == k - 1)
+            & (i_vec >= 2 * k - 1)
+            & ((i_vec - (k - 1)) % k == 0)
+        )
+        d_marg = jnp.where(del_ok, (ng + go) + ge * (if_ - 1.0), LOWEST)
+        return m_marg[None, :], d_marg[None, :], i_marg[None, :]
+
+    def step(carry, d):
+        ring, (cM, cD, cI) = carry
+        # ring[0] = diagonal d-1, ring[1] = d-2, ..., ring[K-1] = d-K
+        prev2 = ring[1]
+        prevk = ring[k - 1]
+
+        # emission: sub[j] = table[a[d-j-k], b[j-k]]
+        start = NA - 1 + k - d + C
+        a_sl = jax.lax.dynamic_slice_in_dim(a_rev_pad, start, C, axis=1)
+        sub = jnp.take(table_flat, a_sl * 15 + b_slot, axis=0)
+
+        p2M = _shift_right(prev2[0], 1)
+        p2D = _shift_right(prev2[1], 1)
+        p2I = _shift_right(prev2[2], 1)
+        pkM, pkD, pkI = prevk
+        pkMs = _shift_right(pkM, k)
+        pkIs = _shift_right(pkI, k)
+
+        # into-match (f32 op order identical to align_pair.cc:98-103)
+        m2m = ((p2M + ng) + ng) + sub
+        d2m = (p2D + gs) + sub
+        i2m = ((p2I + gs) + ng) + sub
+        # into-delete (:106-113)
+        m2d = ((pkM + ng) + go) + gek1
+        i2d = ((pkI + gs) + go) + gek1
+        d2d = pkD + gek
+        # into-insert (:116-119)
+        m2i = (pkMs + go) + gek1
+        i2i = pkIs + gek
+
+        M = plus2(plus2(m2m, d2m), i2m)
+        D = plus2(plus2(m2d, d2d), i2d)
+        I = plus2(m2i, i2i)
+
+        # masks: body cells vs margins vs out-of-matrix
+        i_vec = d - j_iota
+        body = (i_vec >= k) & (i_vec < R) & (j_iota >= k)
+        m_marg, d_marg, i_marg = margins(d)
+        M = jnp.where(body, M, m_marg)
+        D = jnp.where(body, D, d_marg)
+        I = jnp.where(body, I, i_marg)
+
+        # capture pre-adjustment corner values for each pair
+        sel = (d == corner_d)[:, None]
+        idx = corner_j[:, None]
+        cM = jnp.where(sel, jnp.take_along_axis(M, idx, axis=1), cM[:, None])[:, 0]
+        cD = jnp.where(sel, jnp.take_along_axis(D, idx, axis=1), cD[:, None])[:, 0]
+        cI = jnp.where(sel, jnp.take_along_axis(I, idx, axis=1), cI[:, None])[:, 0]
+
+        new_ring = ((M, D, I),) + ring[: K - 1]
+
+        if mode == "viterbi":
+            # backpointers use the traceback's comparison values
+            # (align_pair.cc:275-296), not the DP-form values, so strict-
+            # inequality tie behavior matches the reference exactly.
+            bp_m = _argmax_mdi((p2M + ng) + ng, p2D + gs, (p2I + gs) + ng)
+            bp_d = _argmax_mdi((pkM + ng) + go, pkD + ge, (pkI + gs) + go)
+            bp_i = jnp.where(pkMs + go > pkIs + ge, jnp.uint8(0), jnp.uint8(2))
+            ys = bp_m | (bp_d << 2) | (bp_i << 4)
+        elif mode == "forward":
+            ys = (M, D, I)
+        else:
+            ys = None
+        return (new_ring, (cM, cD, cI)), ys
+
+    ring0 = tuple((empty_diag(), empty_diag(), empty_diag()) for _ in range(K))
+    corner0 = (
+        jnp.full((B,), LOWEST),
+        jnp.full((B,), LOWEST),
+        jnp.full((B,), LOWEST),
+    )
+    (_, (cM, cD, cI)), ys = jax.lax.scan(
+        step, (ring0, corner0), jnp.arange(Dtot, dtype=jnp.int32), unroll=unroll
+    )
+
+    # terminal-state adjustment (align_pair.cc:130-138)
+    cM = (cM + ng) + ng
+    cI = (cI + gs) + ng
+    cD = cD + gs
+    return (cM, cD, cI), ys
+
+
+def gap_consts_array(gap) -> np.ndarray:
+    from coati_tpu.align.semiring import gap_constants
+
+    return np.array(gap_constants(gap.open, gap.extend), dtype=np.float32)

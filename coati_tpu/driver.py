@@ -1,0 +1,103 @@
+"""High-level alignment drivers (reference align_marginal.cc:44-88, :536-594).
+
+The pairwise engine is selected automatically: the batched JAX wavefront
+kernel when available / beneficial, falling back to the NumPy oracle for
+tiny inputs or when JAX is unavailable.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from coati_tpu import utils
+from coati_tpu.align import oracle
+from coati_tpu.io import read_input, write_output
+from coati_tpu.io.jsonio import write_json_sample
+from coati_tpu.structs import AlignmentParams
+
+
+def _viterbi_align(aln: AlignmentParams):
+    """Viterbi-align aln.data.seqs[0/1] in place (engine dispatch)."""
+    anc, des = aln.seq(0), aln.seq(1)
+    enc_a, enc_b = utils.encode_marginal(anc, des)
+    try:
+        from coati_tpu.align.engine import viterbi_align_single
+
+        s0, s1, score = viterbi_align_single(
+            enc_a, enc_b, anc, des, aln.subst_matrix, aln.gap
+        )
+    except ImportError:  # pragma: no cover - jax always present in this env
+        work = oracle.forward_oracle(
+            enc_a, enc_b, aln.subst_matrix, aln.gap, "tropical"
+        )
+        s0, s1, score = oracle.traceback(work, anc, des, aln.gap)
+    aln.data.seqs = [s0, s1]
+    aln.data.score = score
+
+
+def marg_alignment(aln: AlignmentParams) -> bool:
+    """Pairwise alignment with a marginal model (align_marginal.cc:44-88)."""
+    aln.data = read_input(aln)
+    utils.set_subst(aln)
+
+    if aln.score:
+        from coati_tpu.align.score import alignment_score
+
+        print(f"{alignment_score(aln, aln.subst_matrix):g}")
+        return True
+
+    utils.process_marginal(aln)
+    _viterbi_align(aln)
+    utils.restore_end_stops(aln.data, aln.gap)
+    write_output(aln)
+    return True
+
+
+def marg_sample(aln: AlignmentParams, sample_size: int, rng) -> None:
+    """Sample alignments via Forward + stochastic traceback
+    (align_marginal.cc:536-594)."""
+    aln.data = read_input(aln)
+    if aln.data.size() != 2:
+        raise ValueError("Exactly two sequences required.")
+
+    out_path = str(aln.output)
+    if not out_path or out_path == "-":
+        out = sys.stdout
+        close = False
+    else:
+        try:
+            out = open(out_path, "w")
+        except OSError as exc:
+            raise ValueError(f"Opening output file {aln.output} failed.") from exc
+        close = True
+
+    try:
+        len_a = len(aln.seq(0))
+        if len_a % 3 != 0 or len_a % aln.gap.len != 0:
+            raise ValueError("Length of reference sequence must be multiple of 3.")
+        if len(aln.seq(1)) % aln.gap.len != 0:
+            raise ValueError(
+                f"Length of descendant sequence must be multiple of {aln.gap.len}."
+            )
+
+        utils.trim_end_stops(aln.data)
+        anc, des = aln.seq(0), aln.seq(1)
+        enc_a, enc_b = utils.encode_marginal(anc, des)
+        utils.set_subst(aln)
+
+        work = oracle.forward_oracle(
+            enc_a, enc_b, aln.subst_matrix, aln.gap, "log", save_edges=True
+        )
+        stops = aln.data.stops
+        for i in range(sample_size):
+            s0, s1, score = oracle.sampleback(work, anc, des, aln.gap, rng)
+            aln.data.seqs = [s0, s1]
+            aln.data.score = score
+            aln.data.stops = list(stops)
+            utils.restore_end_stops(aln.data, aln.gap)
+            write_json_sample(aln.data, out, i, sample_size)
+    finally:
+        if close:
+            out.close()

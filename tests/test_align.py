@@ -1,0 +1,187 @@
+"""Alignment engine tests: oracle semantics, JAX kernel parity, scoring."""
+
+import numpy as np
+import pytest
+
+from coati_tpu.align import oracle
+from coati_tpu.align.engine import viterbi_align_batch, viterbi_scores_batch
+from coati_tpu.align.score import alignment_score
+from coati_tpu.structs import AlignmentParams, GapParams, SeqData
+from coati_tpu.utils import encode_marginal
+
+
+def _align_oracle(anc, des, table, gap):
+    a, b = encode_marginal(anc, des)
+    w = oracle.forward_oracle(a, b, table, gap, "tropical")
+    return oracle.traceback(w, anc, des, gap)
+
+
+# --- reference marg_alignment cases (align_marginal.cc:149-240) -------------
+CASES_K1 = [
+    ("CTCTGGATAGTG", "CTATAGTG", "CTCTGGATAGTG", "CT----ATAGTG"),
+    ("GCGACTGTT", "GCGATTGCTGTT", "GCGA---CTGTT", "GCGATTGCTGTT"),
+    ("ACGTTAAGGGGT", "ACGAAT", "ACGTTAAGGGGT", "ACG--AA----T"),
+]
+CASES_K3 = [
+    ("ACGTTAAGGGGT", "ACGAAT", "ACGTTAAGGGGT", "AC------GAAT"),
+]
+
+
+@pytest.mark.parametrize("anc,des,e0,e1", CASES_K1)
+def test_oracle_viterbi_k1(mg94_table, anc, des, e0, e1):
+    s0, s1, _ = _align_oracle(anc, des, mg94_table, GapParams(len=1))
+    assert (s0, s1) == (e0, e1)
+
+
+@pytest.mark.parametrize("anc,des,e0,e1", CASES_K3)
+def test_oracle_viterbi_k3(mg94_table, anc, des, e0, e1):
+    s0, s1, _ = _align_oracle(anc, des, mg94_table, GapParams(len=3))
+    assert (s0, s1) == (e0, e1)
+
+
+def test_oracle_ambiguous_descendant(mg94_table):
+    s0, s1, _ = _align_oracle("CTCTGGATAGTG", "CTATAGTR", mg94_table, GapParams())
+    assert (s0, s1) == ("CTCTGGATAGTG", "CT----ATAGTR")
+
+
+# --- JAX kernel vs oracle ---------------------------------------------------
+def _random_codon_seq(rng, n_codons):
+    from coati_tpu.constants import CODONS61
+
+    return "".join(rng.choice(CODONS61) for _ in range(n_codons))
+
+
+def _random_nuc_seq(rng, n):
+    return "".join(rng.choice("ACGT") for _ in range(n))
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_kernel_matches_oracle_random(mg94_table, k):
+    import random
+
+    rng = random.Random(1234 + k)
+    gap = GapParams(len=k)
+    ancs, dess, enc_as, enc_bs = [], [], [], []
+    for _ in range(12):
+        anc = _random_codon_seq(rng, rng.randint(2, 12))
+        m = rng.randint(1, 14) * k
+        if k == 1:
+            des = _random_nuc_seq(rng, m)
+        else:
+            des = _random_nuc_seq(rng, m)
+        a, b = encode_marginal(anc, des)
+        ancs.append(anc)
+        dess.append(des)
+        enc_as.append(a)
+        enc_bs.append(b)
+
+    results = viterbi_align_batch(enc_as, enc_bs, ancs, dess, mg94_table, gap,
+                                  quantum=16)
+    for i in range(len(ancs)):
+        o0, o1, osc = _align_oracle(ancs[i], dess[i], mg94_table, gap)
+        r = results[i]
+        assert (r.seq0, r.seq1) == (o0, o1), f"pair {i}: {ancs[i]} {dess[i]}"
+        assert r.score == pytest.approx(osc, abs=1e-4)
+
+
+def test_kernel_score_only_matches(mg94_table):
+    import random
+
+    rng = random.Random(7)
+    gap = GapParams()
+    enc_as, enc_bs, oscores = [], [], []
+    for _ in range(8):
+        anc = _random_codon_seq(rng, rng.randint(2, 10))
+        des = _random_nuc_seq(rng, rng.randint(3, 30))
+        a, b = encode_marginal(anc, des)
+        enc_as.append(a)
+        enc_bs.append(b)
+        w = oracle.forward_oracle(a, b, mg94_table, gap, "tropical")
+        oscores.append(
+            max(w.mch[-1, -1], w.del_[-1, -1], w.ins[-1, -1])
+        )
+    scores = viterbi_scores_batch(enc_as, enc_bs, mg94_table, gap, quantum=16)
+    np.testing.assert_allclose(scores, oscores, atol=1e-4)
+
+
+def test_kernel_forward_matches_oracle(mg94_table):
+    """Forward (log semiring) diagonals equal the oracle's matrices."""
+    import jax.numpy as jnp
+
+    from coati_tpu.align.wavefront import gap_consts_array, wavefront
+
+    gap = GapParams()
+    anc, des = "CTCTGGATAGTG", "CTATAGTG"
+    a, b = encode_marginal(anc, des)
+    w = oracle.forward_oracle(a, b, mg94_table, gap, "log")
+
+    k = 1
+    (cm, cd, ci), (Ms, Ds, Is) = wavefront(
+        jnp.asarray(a[None, :]),
+        jnp.asarray(b[None, :]),
+        jnp.asarray([len(a)], dtype=jnp.int32),
+        jnp.asarray([len(b)], dtype=jnp.int32),
+        jnp.asarray(mg94_table),
+        jnp.asarray(gap_consts_array(gap)),
+        k=k,
+        semiring="log",
+        mode="forward",
+    )
+    Ms, Ds, Is = np.asarray(Ms), np.asarray(Ds), np.asarray(Is)
+    R, C = w.mch.shape
+    for i in range(R):
+        for j in range(C):
+            if (i, j) == (R - 1, C - 1):
+                # oracle stores the terminal adjustment in-place; the kernel
+                # returns it via the captured corner instead
+                continue
+            assert Ms[i + j, 0, j] == pytest.approx(w.mch[i, j], abs=1e-4), (i, j)
+            assert Ds[i + j, 0, j] == pytest.approx(w.del_[i, j], abs=1e-4), (i, j)
+            assert Is[i + j, 0, j] == pytest.approx(w.ins[i, j], abs=1e-4), (i, j)
+    # corner values match terminal-adjusted oracle
+    assert float(cm[0]) == pytest.approx(
+        float(np.float32(w.mch[R - 1, C - 1])), abs=1e-4
+    )
+
+
+# --- alignment_score goldens (align_marginal.cc:489-508) --------------------
+SCORE_CASES = [
+    ("CTCTGGATAGTG", "CT----ATAGTG", 1.50914),
+    ("CTCT--AT", "CTCTGGAT", -0.83906),
+    ("ACTCT-A", "ACTCTG-", -10.52864),
+    ("ATGCTTTAC", "ATGCT-TAC", 2.13593),
+    ("ATGCTT---", "ATGCTTTGA", 0.70607),
+    ("A-CTAAC", "ACCTAAG", -8.2786),
+    ("ACT---", "ACTCTG", -5.04197),
+    ("ACTCTA", "ACT---", -5.04197),
+    ("ACT----", "ACT-CTG", -5.04197),
+    ("AAAAAA---AAA", "AAA---AAAAAA", -11.09557),
+    ("AAA---AAAAAA", "AAAAAA---AAA", -11.09557),
+    ("AAA-A-A-AAAA", "AAAA-A-A-AAA", -11.09557),
+    ("---AAAAAA", "AAAAAAAAA", -2.03242),
+    ("AAAAAA---", "AAAAAAAAA", -2.03242),
+    ("AAAAAAAAA", "---AAAAAA", -2.03242),
+    ("AAAAAAAAA", "AAAAAA---", -2.03242),
+    ("ACTCTA", "ACTC--", -3.18537),
+    ("ACTCTA-", "ACTCTAG", -10.45777),
+    ("ACTCTA--", "ACTCT-AG", -10.45777),
+]
+
+
+@pytest.mark.parametrize("anc,des,expected", SCORE_CASES)
+def test_alignment_score_goldens(mg94_table, anc, des, expected):
+    aln = AlignmentParams()
+    aln.data = SeqData(names=["A", "B"], seqs=[anc, des])
+    got = alignment_score(aln, mg94_table)
+    assert got == pytest.approx(expected, abs=2e-4)
+
+
+def test_alignment_score_rejects_bad_inputs(mg94_table):
+    aln = AlignmentParams()
+    aln.data = SeqData(names=["A", "B"], seqs=["ATACGGGTC", ""])
+    with pytest.raises(ValueError):
+        alignment_score(aln, mg94_table)
+    aln2 = AlignmentParams()
+    aln2.data = SeqData(names=["A", "B"], seqs=["ATAC", "ATA-"])
+    with pytest.raises(ValueError):
+        alignment_score(aln2, mg94_table)
