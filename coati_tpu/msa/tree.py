@@ -55,11 +55,12 @@ class _Parser:
         self.pos = m.end()
         return m.group(0)
 
+    _FLOAT_RE = re.compile(r"[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?")
+
     def length(self) -> float:
         if self.peek() == ":":
             self.pos += 1
-            m = re.match(r"[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?",
-                         self.text, self.pos)
+            m = self._FLOAT_RE.match(self.text, self.pos)
             if not m:
                 raise RuntimeError("Parsing content of newick tree failed.")
             self.pos = m.end()
