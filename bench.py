@@ -1,0 +1,163 @@
+"""Benchmark: 10k-pair mixed-length mar-mg94 batch on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference C++ cannot be built in this offline image
+(meson/Eigen/Boost unavailable), so the single-thread C++ column is anchored
+by native/pairhmm.cc — this repo's -O3 reimplementation of the identical
+Gotoh recurrence (same float ops per cell as reference align_pair.cc:94-129),
+measured on this host. Its score-only rolling-row loop is, if anything,
+faster than the reference's 3-full-matrix fill, making the reported
+vs_baseline conservative.
+
+Env knobs: BENCH_PAIRS (default 10000), BENCH_QUICK=1 (small smoke run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+QUICK = os.environ.get("BENCH_QUICK") == "1"
+N_PAIRS = int(os.environ.get("BENCH_PAIRS", "400" if QUICK else "10000"))
+
+# mixed length classes (nt), weighted toward shorter pairs; mirrors the
+# reference benchmark inputs (156 nt .. multi-kb, benchmark/data/)
+LENGTH_MIX = [(156, 0.35), (471, 0.30), (999, 0.20), (1500, 0.15)]
+if QUICK:
+    LENGTH_MIX = [(156, 0.6), (471, 0.4)]
+
+
+def make_pairs(n_pairs, rng):
+    """Synthetic homologous pairs: ancestor = random codons, descendant =
+    ancestor with point mutations and occasional indels."""
+    from coati_tpu.constants import CODONS61
+
+    codon_arr = np.array(CODONS61)
+    lengths = [l for l, _ in LENGTH_MIX]
+    probs = np.array([p for _, p in LENGTH_MIX])
+    probs = probs / probs.sum()
+    pairs = []
+    nts = np.array(list("ACGT"))
+    for _ in range(n_pairs):
+        nt_len = int(rng.choice(lengths, p=probs))
+        n_cod = nt_len // 3
+        anc = "".join(rng.choice(codon_arr, size=n_cod))
+        des = list(anc)
+        # point mutations ~5%
+        idx = rng.random(len(des)) < 0.05
+        for i in np.nonzero(idx)[0]:
+            des[i] = str(rng.choice(nts))
+        des = "".join(des)
+        # 0-2 indels of length 1-9
+        for _ in range(int(rng.integers(0, 3))):
+            ln = int(rng.integers(1, 10))
+            pos = int(rng.integers(0, max(1, len(des) - ln)))
+            if rng.random() < 0.5:
+                des = des[:pos] + des[pos + ln :]
+            else:
+                ins = "".join(rng.choice(nts, size=ln))
+                des = des[:pos] + ins + des[pos:]
+        pairs.append((anc, des))
+    return pairs
+
+
+def main() -> int:
+    rng = np.random.default_rng(20260817)
+    t_setup = time.time()
+
+    from coati_tpu.models import marginal_p, mg94_p
+    from coati_tpu.structs import GapParams
+    from coati_tpu.utils import encode_marginal
+
+    pi = (0.308, 0.185, 0.199, 0.308)
+    table = marginal_p(mg94_p(0.0133, 0.2, pi), pi).astype(np.float32)
+    gap = GapParams()
+
+    pairs = make_pairs(N_PAIRS, rng)
+    enc = [encode_marginal(a, d) for a, d in pairs]
+    enc_as = [e[0] for e in enc]
+    enc_bs = [e[1] for e in enc]
+    a_strs = [p[0] for p in pairs]
+    b_strs = [p[1] for p in pairs]
+    true_cells = float(sum(len(a) * len(b) for a, b in zip(enc_as, enc_bs)))
+    print(f"# setup: {N_PAIRS} pairs, {true_cells/1e9:.2f} Gcells, "
+          f"{time.time()-t_setup:.1f}s", file=sys.stderr)
+
+    # ---- native single-thread baseline (reference-equivalent C++) ----------
+    from coati_tpu import native
+
+    base_rate = None
+    if native.available():
+        sample_idx = rng.choice(len(pairs), size=min(24, len(pairs)),
+                                replace=False)
+        t0 = time.time()
+        cells = 0
+        for i in sample_idx:
+            native.viterbi_score(enc_as[i], enc_bs[i], table, gap)
+            cells += len(enc_as[i]) * len(enc_bs[i])
+        base_rate = cells / (time.time() - t0)  # cells/s
+        print(f"# native baseline: {base_rate/1e6:.0f} Mcells/s",
+              file=sys.stderr)
+
+    # ---- TPU batch alignment ----------------------------------------------
+    os.environ.setdefault("COATI_TPU_FORCE_PLATFORM", "tpu")
+    import jax
+
+    from coati_tpu.align.engine import viterbi_align_batch
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", file=sys.stderr)
+
+    quantum = 192
+    max_cells = 1 << 28
+
+    # warmup (compile every bucket shape once on a small prefix)
+    t0 = time.time()
+    _ = viterbi_align_batch(enc_as, enc_bs, a_strs, b_strs, table, gap,
+                            quantum=quantum, max_batch_cells=max_cells)
+    warm = time.time() - t0
+    print(f"# pass 1 (incl. compile): {warm:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    results = viterbi_align_batch(enc_as, enc_bs, a_strs, b_strs, table, gap,
+                                  quantum=quantum, max_batch_cells=max_cells)
+    dt = time.time() - t0
+
+    aln_per_s = N_PAIRS / dt
+    cells_per_s = true_cells / dt
+    # sanity: scores finite, strings consistent
+    assert all(np.isfinite(r.score) for r in results)
+    assert all(len(r.seq0) == len(r.seq1) for r in results)
+
+    vs_baseline = None
+    if base_rate:
+        base_total_s = true_cells / base_rate
+        base_aln_per_s = N_PAIRS / base_total_s
+        vs_baseline = aln_per_s / base_aln_per_s
+
+    out = {
+        "metric": "alignments_per_sec_mixed10k_marmg",
+        "value": round(aln_per_s, 2),
+        "unit": "alignments/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "cells_per_sec": round(cells_per_s, 0),
+        "n_pairs": N_PAIRS,
+        "batch_seconds": round(dt, 3),
+        "baseline_cells_per_sec": round(base_rate, 0) if base_rate else None,
+        "device": str(dev),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

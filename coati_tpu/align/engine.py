@@ -17,7 +17,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from coati_tpu.align.wavefront import gap_consts_array, wavefront
+from coati_tpu.align.wavefront import (
+    gap_consts_array,
+    traceback_ops,
+    wavefront,
+)
 from coati_tpu.constants import F32_LOWEST
 
 # persistent compilation cache: the wavefront scan compiles once per padded
@@ -139,6 +143,39 @@ def traceback_batch(bp, corners, lens_a, lens_b, a_strs, b_strs, k):
     return results
 
 
+def ops_to_strings(ops_fwd, score, a_strs, b_strs, k):
+    """Build aligned strings from forward-ordered op codes, vectorized.
+
+    ops_fwd: [steps, B] int8 with -1 padding (leading, since the walk ran
+    backward and was reversed). Each op consumes 1 (match) or k (gap unit)
+    characters; numpy cumsums map ops to character positions with no
+    per-character Python loop.
+    """
+    results = []
+    for p in range(ops_fwd.shape[1]):
+        ops = ops_fwd[:, p]
+        ops = ops[ops >= 0]
+        if k > 1:
+            ops = np.repeat(ops, np.where(ops == 0, 1, k))
+        a_arr = np.frombuffer(a_strs[p].encode("ascii"), dtype=np.uint8)
+        b_arr = np.frombuffer(b_strs[p].encode("ascii"), dtype=np.uint8)
+        consume_a = ops != 2
+        consume_b = ops != 1
+        idx_a = np.cumsum(consume_a) - 1
+        idx_b = np.cumsum(consume_b) - 1
+        dash = np.uint8(ord("-"))
+        s0 = np.where(consume_a, a_arr[np.maximum(idx_a, 0)], dash)
+        s1 = np.where(consume_b, b_arr[np.maximum(idx_b, 0)], dash)
+        results.append(
+            AlignResult(
+                s0.astype(np.uint8).tobytes().decode("ascii"),
+                s1.astype(np.uint8).tobytes().decode("ascii"),
+                float(score[p]),
+            )
+        )
+    return results
+
+
 def _pad_batch(enc_as, enc_bs, quantum):
     B = len(enc_as)
     na = max(len(a) for a in enc_as)
@@ -201,13 +238,16 @@ def viterbi_align_batch(
                     semiring="tropical",
                     mode="viterbi",
                 )
-            corners = jax.device_get(corners)
-            bp = np.asarray(jax.device_get(bp))
-            out = traceback_batch(
-                bp,
-                corners,
-                la,
-                lb,
+                # traceback walk runs on-device: only the op sequence
+                # [steps, B] int8 crosses the host link, not the bp stack
+                ops, (_, score) = traceback_ops(
+                    bp, corners, jnp.asarray(la), jnp.asarray(lb), k=k
+                )
+            ops = np.asarray(jax.device_get(ops))[::-1]  # forward order
+            score = np.asarray(jax.device_get(score))
+            out = ops_to_strings(
+                ops,
+                score,
                 [a_strs[i] for i in chunk],
                 [b_strs[i] for i in chunk],
                 k,

@@ -66,10 +66,7 @@ def _argmax_mdi(m, d, i):
     return jnp.where(i > best, jnp.uint8(2), code)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "semiring", "mode", "unroll")
-)
-def wavefront(
+def wavefront_impl(
     aseq,  # [B, NA] int32 in [0, 183) (padded with 0)
     bseq,  # [B, NB] int32 in [0, 15)  (padded with 0)
     lens_a,  # [B] int32 true ancestor lengths
@@ -220,6 +217,57 @@ def wavefront(
     cI = (cI + gs) + ng
     cD = cD + gs
     return (cM, cD, cI), ys
+
+
+wavefront = functools.partial(
+    jax.jit, static_argnames=("k", "semiring", "mode", "unroll")
+)(wavefront_impl)
+
+
+def traceback_ops_impl(bp, corners, lens_a, lens_b, *, k: int):
+    """Device-side vectorized traceback walk.
+
+    The per-pair walk is sequential, but all pairs in the batch advance one
+    step per scan iteration; only the tiny op sequence [max_steps, B] int8
+    leaves the device (the packed bp stack [Dtot, B, C] stays in HBM —
+    important when the host link is slow).
+
+    Returns (ops, (start_state, score)): ops[s, p] is the s-th op walking
+    BACKWARD from the corner (0=match, 1=delete, 2=insert, -1=inactive).
+    """
+    cM, cD, cI = corners
+    Dtot, B, C = bp.shape
+    max_steps = Dtot - 1
+
+    st0 = _argmax_mdi(cM, cD, cI).astype(jnp.int32)
+    score = jnp.maximum(cM, jnp.maximum(cD, cI))
+    i0 = lens_a + jnp.int32(k - 1)
+    j0 = lens_b + jnp.int32(k - 1)
+    rows = jnp.arange(B, dtype=jnp.int32)
+
+    def step(carry, _):
+        i, j, st = carry
+        active = (i > k - 1) | (j > k - 1)
+        code = bp[i + j, rows, j].astype(jnp.int32)
+        nxt_m = code & 3
+        nxt_d = (code >> 2) & 3
+        nxt_i = (code >> 4) & 3
+        nxt = jnp.where(st == 0, nxt_m, jnp.where(st == 1, nxt_d, nxt_i))
+        di = jnp.where(st == 0, 1, jnp.where(st == 1, k, 0))
+        dj = jnp.where(st == 0, 1, jnp.where(st == 1, 0, k))
+        op = jnp.where(active, st, -1).astype(jnp.int8)
+        i = jnp.where(active, i - di, i)
+        j = jnp.where(active, j - dj, j)
+        st = jnp.where(active, nxt, st)
+        return (i, j, st), op
+
+    (_, _, _), ops = jax.lax.scan(step, (i0, j0, st0), None, length=max_steps)
+    return ops, (st0, score)
+
+
+traceback_ops = functools.partial(jax.jit, static_argnames=("k",))(
+    traceback_ops_impl
+)
 
 
 def gap_consts_array(gap) -> np.ndarray:

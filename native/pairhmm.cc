@@ -1,0 +1,189 @@
+// Native single-thread pair-HMM DP engine.
+//
+// Two roles:
+//  1. Baseline anchor: the reference C++ (CartwrightLab/coati) cannot be
+//     compiled in this offline environment (meson/Eigen/Boost absent), so
+//     this reimplementation of the same Gotoh recurrence
+//     (reference src/lib/align_pair.cc:62-139; written from the algorithm,
+//     not copied) compiled -O3 single-thread stands in for the C++ column
+//     in benchmarks.
+//  2. Host-side fast path: oracle-exact scoring/backpointer fill for small
+//     inputs without JAX dispatch overhead, callable via ctypes.
+//
+// float32 arithmetic and operation order mirror the reference exactly, so
+// results are bit-identical to the Python oracle.
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <vector>
+
+namespace {
+
+constexpr float kLowest = std::numeric_limits<float>::lowest();
+
+inline float log1p_exp(float x) {
+  if (x <= -16.0f) return std::exp(x);
+  if (x <= 8.0f) return std::log1p(std::exp(x));
+  if (x <= 14.5f) return x + std::exp(-x);
+  return x;
+}
+
+inline float lse(float a, float b) {
+  float mx = a > b ? a : b;
+  float y = -std::fabs(a - b);
+  return mx + log1p_exp(y);
+}
+
+inline float fmax2(float a, float b) { return a > b ? a : b; }
+
+struct GapConsts {
+  float ng, gs, go, ge, gek1, gek;
+  int k;
+};
+
+GapConsts gap_consts(float gap_open, float gap_extend, int k) {
+  GapConsts g;
+  g.ng = std::log1p(-gap_open);
+  g.gs = std::log1p(-gap_extend);
+  g.go = std::log(gap_open);
+  g.ge = std::log(gap_extend);
+  g.gek1 = g.ge * static_cast<float>(k - 1);
+  g.gek = g.ge * static_cast<float>(k);
+  g.k = k;
+  return g;
+}
+
+// Packed backpointer codes identical to the TPU kernel:
+// bits 0-1 from-M next state, 2-3 from-D, 4 from-I (0=M, 2=I).
+inline uint8_t argmax_mdi(float m, float d, float i) {
+  uint8_t code = (d > m) ? 1 : 0;
+  float best = fmax2(m, d);
+  return (i > best) ? uint8_t(2) : code;
+}
+
+template <bool kLog, bool kBp>
+float forward_impl(const int32_t* a, int na, const int32_t* b, int nb,
+                   const float* table, const GapConsts& g, uint8_t* bp,
+                   int* out_state) {
+  const int k = g.k;
+  const int R = na + k;
+  const int C = nb + k;
+
+  // k+1 rolling rows (need rows i-1 and i-k)
+  const int H = k + 1;
+  std::vector<float> M(static_cast<size_t>(H) * C, kLowest);
+  std::vector<float> D(static_cast<size_t>(H) * C, kLowest);
+  std::vector<float> I(static_cast<size_t>(H) * C, kLowest);
+  auto row = [&](std::vector<float>& X, int i) {
+    return X.data() + static_cast<size_t>(i % H) * C;
+  };
+
+  const int start = k - 1;
+  // row `start` margins
+  {
+    float* Mr = row(M, start);
+    float* Ir = row(I, start);
+    Mr[start] = 0.0f;
+    for (int j = start + k; j < C; j += k)
+      Ir[j] = g.go + g.ge * static_cast<float>(j - 1);
+  }
+
+  for (int i = k; i < R; ++i) {
+    float* Mi = row(M, i);
+    float* Di = row(D, i);
+    float* Ii = row(I, i);
+    std::memset(Mi, 0, 0);  // no-op; rows fully overwritten below
+    const float* M1 = row(M, i - 1);
+    const float* D1 = row(D, i - 1);
+    const float* I1 = row(I, i - 1);
+    const float* Mk = row(M, i - k);
+    const float* Dk = row(D, i - k);
+    const float* Ik = row(I, i - k);
+
+    // margin column(s)
+    for (int j = 0; j < k; ++j) {
+      Mi[j] = kLowest;
+      Ii[j] = kLowest;
+      Di[j] = kLowest;
+    }
+    if ((i - start) % k == 0)
+      Di[start] = (g.ng + g.go) + g.ge * static_cast<float>(i - 1);
+
+    const float* trow = table + static_cast<size_t>(a[i - k]) * 15;
+    for (int j = k; j < C; ++j) {
+      const float sub = trow[b[j - k]];
+      const float m2m = ((M1[j - 1] + g.ng) + g.ng) + sub;
+      const float d2m = (D1[j - 1] + g.gs) + sub;
+      const float i2m = ((I1[j - 1] + g.gs) + g.ng) + sub;
+
+      const float m2d = ((Mk[j] + g.ng) + g.go) + g.gek1;
+      const float i2d = ((Ik[j] + g.gs) + g.go) + g.gek1;
+      const float d2d = Dk[j] + g.gek;
+
+      const float m2i = (Mi[j - k] + g.go) + g.gek1;
+      const float i2i = Ii[j - k] + g.gek;
+
+      if (kLog) {
+        Mi[j] = lse(lse(m2m, d2m), i2m);
+        Di[j] = lse(lse(m2d, d2d), i2d);
+        Ii[j] = lse(m2i, i2i);
+      } else {
+        Mi[j] = fmax2(fmax2(m2m, d2m), i2m);
+        Di[j] = fmax2(fmax2(m2d, d2d), i2d);
+        Ii[j] = fmax2(m2i, i2i);
+      }
+
+      if (kBp) {
+        // traceback-form comparisons (align_pair.cc:275-296)
+        uint8_t bm = argmax_mdi((M1[j - 1] + g.ng) + g.ng, D1[j - 1] + g.gs,
+                                (I1[j - 1] + g.gs) + g.ng);
+        uint8_t bd = argmax_mdi((Mk[j] + g.ng) + g.go, Dk[j] + g.ge,
+                                (Ik[j] + g.gs) + g.go);
+        uint8_t bi = ((Mi[j - k] + g.go) > (Ii[j - k] + g.ge)) ? 0 : 2;
+        bp[static_cast<size_t>(i) * C + j] =
+            static_cast<uint8_t>(bm | (bd << 2) | (bi << 4));
+      }
+    }
+  }
+
+  // terminal adjustment
+  float cm = (row(M, R - 1)[C - 1] + g.ng) + g.ng;
+  float ci = (row(I, R - 1)[C - 1] + g.gs) + g.ng;
+  float cd = row(D, R - 1)[C - 1] + g.gs;
+  float score = fmax2(fmax2(cm, cd), ci);
+  if (out_state) *out_state = (ci > fmax2(cm, cd)) ? 2 : ((cd > cm) ? 1 : 0);
+  return score;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Viterbi score only (tropical), O(k * C) memory.
+float coati_viterbi_score(const int32_t* a, int na, const int32_t* b, int nb,
+                          const float* table, float gap_open, float gap_extend,
+                          int k) {
+  GapConsts g = gap_consts(gap_open, gap_extend, k);
+  return forward_impl<false, false>(a, na, b, nb, table, g, nullptr, nullptr);
+}
+
+// Forward (log) total probability score.
+float coati_forward_score(const int32_t* a, int na, const int32_t* b, int nb,
+                          const float* table, float gap_open, float gap_extend,
+                          int k) {
+  GapConsts g = gap_consts(gap_open, gap_extend, k);
+  return forward_impl<true, false>(a, na, b, nb, table, g, nullptr, nullptr);
+}
+
+// Viterbi with packed backpointers; bp must hold (na+k)*(nb+k) bytes.
+// Returns the score; *out_state is the terminal argmax (0=M,1=D,2=I).
+float coati_viterbi_bp(const int32_t* a, int na, const int32_t* b, int nb,
+                       const float* table, float gap_open, float gap_extend,
+                       int k, uint8_t* bp, int* out_state) {
+  GapConsts g = gap_consts(gap_open, gap_extend, k);
+  return forward_impl<false, true>(a, na, b, nb, table, g, bp, out_state);
+}
+
+}  // extern "C"
