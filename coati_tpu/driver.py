@@ -55,6 +55,45 @@ def marg_alignment(aln: AlignmentParams) -> bool:
     return True
 
 
+def _forward_mdi(enc_a, enc_b, aln):
+    """Run the Forward (log) wavefront on device and return the three state
+    matrices in (i, j) layout with the terminal-adjusted corner."""
+    import jax
+    import jax.numpy as jnp
+
+    from coati_tpu.align.engine import _device_for
+    from coati_tpu.align.wavefront import gap_consts_array, wavefront
+
+    k = aln.gap.len
+    na, nb = len(enc_a), len(enc_b)
+    dev = _device_for((na + k) * (nb + k))
+    with jax.default_device(dev):
+        (cm, cd, ci), (Ms, Ds, Is) = wavefront(
+            jnp.asarray(np.asarray(enc_a)[None, :]),
+            jnp.asarray(np.asarray(enc_b)[None, :]),
+            jnp.asarray([na], dtype=jnp.int32),
+            jnp.asarray([nb], dtype=jnp.int32),
+            jnp.asarray(np.asarray(aln.subst_matrix, dtype=np.float32)),
+            jnp.asarray(gap_consts_array(aln.gap)),
+            k=k,
+            semiring="log",
+            mode="forward",
+        )
+    Ms = np.asarray(jax.device_get(Ms))[:, 0, :]  # [Dtot, C]
+    Ds = np.asarray(jax.device_get(Ds))[:, 0, :]
+    Is = np.asarray(jax.device_get(Is))[:, 0, :]
+    R, Cc = na + k, nb + k
+    ii = np.arange(R)[:, None]
+    jj = np.arange(Cc)[None, :]
+    M = Ms[ii + jj, jj]
+    D = Ds[ii + jj, jj]
+    I = Is[ii + jj, jj]
+    M[R - 1, Cc - 1] = float(cm[0])
+    D[R - 1, Cc - 1] = float(cd[0])
+    I[R - 1, Cc - 1] = float(ci[0])
+    return M, D, I
+
+
 def marg_sample(aln: AlignmentParams, sample_size: int, rng) -> None:
     """Sample alignments via Forward + stochastic traceback
     (align_marginal.cc:536-594)."""
@@ -87,12 +126,23 @@ def marg_sample(aln: AlignmentParams, sample_size: int, rng) -> None:
         enc_a, enc_b = utils.encode_marginal(anc, des)
         utils.set_subst(aln)
 
-        work = oracle.forward_oracle(
-            enc_a, enc_b, aln.subst_matrix, aln.gap, "log", save_edges=True
-        )
         stops = aln.data.stops
+        n_cells = (len(enc_a) + aln.gap.len) * (len(enc_b) + aln.gap.len)
+        if n_cells <= 250_000:
+            # small inputs: pure-Python oracle (bit-parity with reference)
+            work = oracle.forward_oracle(
+                enc_a, enc_b, aln.subst_matrix, aln.gap, "log", save_edges=True
+            )
+            sample_one = lambda: oracle.sampleback(work, anc, des, aln.gap, rng)
+        else:
+            # large inputs: Forward DP on the accelerator, stochastic
+            # traceback on host over the 3 state matrices
+            M, D, I = _forward_mdi(enc_a, enc_b, aln)
+            sample_one = lambda: oracle.sampleback_mdi(
+                M, D, I, enc_a, enc_b, aln.subst_matrix, anc, des, aln.gap, rng
+            )
         for i in range(sample_size):
-            s0, s1, score = oracle.sampleback(work, anc, des, aln.gap, rng)
+            s0, s1, score = sample_one()
             aln.data.seqs = [s0, s1]
             aln.data.score = score
             aln.data.stops = list(stops)
