@@ -97,13 +97,18 @@ def wavefront_impl(
         raise ValueError(semiring)
 
     # --- emission lookup setup ------------------------------------------------
-    # Cell (i, j) on diagonal d uses table[a[d-j-k], b[j-k]]. We slice a
-    # reversed, padded copy of `a` so slot j of diagonal d reads a[d-j-k].
-    table_flat = table.reshape(-1)
+    # Cell (i, j) on diagonal d uses table[a[d-j-k], b[j-k]]. Per-step table
+    # gathers are catastrophically slow on TPU, so the lookup is split:
+    #   TA[p, c, t] = table[a_rev_pad[p, t], c]   (one bulk gather, setup)
+    #   sub[p, j]   = sum_c TA[p, c, d_slice + j] * onehot_b[p, c, j]
+    # i.e. a dynamic slice plus a 15-term masked sum per diagonal — pure VPU.
     a_rev = jnp.flip(aseq, axis=1)  # a_rev[t] = a[NA-1-t]
     a_rev_pad = jnp.pad(a_rev, ((0, 0), (C, C + k)), constant_values=0)
-    # b at slot j (j >= k): b[j-k]
+    # TA: [B, 15, NA + 2C + k]
+    TA = jnp.transpose(jnp.take(table, a_rev_pad, axis=0), (0, 2, 1))
+    # b at slot j (j >= k): b[j-k]; one-hot over the 15 nucleotide codes
     b_slot = jnp.pad(bseq, ((0, 0), (k, 0)), constant_values=0)  # [B, C]
+    oh_b = jax.nn.one_hot(b_slot, 15, axis=1, dtype=jnp.float32)  # [B, 15, C]
 
     j_iota = jnp.arange(C, dtype=jnp.int32)
 
@@ -143,10 +148,10 @@ def wavefront_impl(
         prev2 = ring[1]
         prevk = ring[k - 1]
 
-        # emission: sub[j] = table[a[d-j-k], b[j-k]]
+        # emission: sub[j] = table[a[d-j-k], b[j-k]] via slice + masked sum
         start = NA - 1 + k - d + C
-        a_sl = jax.lax.dynamic_slice_in_dim(a_rev_pad, start, C, axis=1)
-        sub = jnp.take(table_flat, a_sl * 15 + b_slot, axis=0)
+        ta_sl = jax.lax.dynamic_slice_in_dim(TA, start, C, axis=2)
+        sub = jnp.sum(ta_sl * oh_b, axis=1)
 
         p2M = _shift_right(prev2[0], 1)
         p2D = _shift_right(prev2[1], 1)
