@@ -176,6 +176,47 @@ def ops_to_strings(ops_fwd, score, a_strs, b_strs, k):
     return results
 
 
+PALLAS_BC = 32
+# scratch budget: (3*ring + 15 + 3) * bc * C * 4 bytes must fit VMEM
+PALLAS_MAX_C = 2816
+
+
+def _run_viterbi(aseq, bseq, la, lb, table32, gc, k, dev):
+    """Dispatch the Viterbi DP fill: Pallas kernel on TPU (VMEM-resident
+    diagonals, ~2-4x the XLA scan), XLA scan elsewhere or when the slot
+    count exceeds the VMEM budget."""
+    B, NA = aseq.shape
+    NB = bseq.shape[1]
+    C = ((NB + k + 127) // 128) * 128
+    use_pallas = (
+        getattr(dev, "platform", "cpu") not in ("cpu",)
+        and C <= PALLAS_MAX_C
+    )
+    if use_pallas:
+        from coati_tpu.kernels.wavefront_pallas import wavefront_pallas
+
+        pad_b = (-B) % PALLAS_BC
+        if pad_b:
+            aseq = np.concatenate([aseq, np.zeros((pad_b, NA), np.int32)])
+            bseq = np.concatenate([bseq, np.zeros((pad_b, NB), np.int32)])
+            la = np.concatenate([la, np.full(pad_b, 3 * k, np.int32)])
+            lb = np.concatenate([lb, np.full(pad_b, k, np.int32)])
+        corners, bp = wavefront_pallas(
+            jnp.asarray(aseq), jnp.asarray(bseq), jnp.asarray(la),
+            jnp.asarray(lb), jnp.asarray(table32), jnp.asarray(gc),
+            k=k, bc=PALLAS_BC,
+        )
+        if pad_b:
+            corners = tuple(c[:B] for c in corners)
+            bp = bp[:, :B]
+        return corners, bp
+    return wavefront(
+        jnp.asarray(aseq), jnp.asarray(bseq), jnp.asarray(la),
+        jnp.asarray(lb), jnp.asarray(table32), jnp.asarray(gc),
+        k=k, semiring="tropical", mode="viterbi",
+    )
+
+
 def _pad_batch(enc_as, enc_bs, quantum):
     B = len(enc_as)
     na = max(len(a) for a in enc_as)
@@ -227,16 +268,8 @@ def viterbi_align_batch(
             )
             dev = _device_for(len(chunk) * cells)
             with jax.default_device(dev):
-                corners, bp = wavefront(
-                    jnp.asarray(aseq),
-                    jnp.asarray(bseq),
-                    jnp.asarray(la),
-                    jnp.asarray(lb),
-                    jnp.asarray(table32),
-                    jnp.asarray(gc),
-                    k=k,
-                    semiring="tropical",
-                    mode="viterbi",
+                corners, bp = _run_viterbi(
+                    aseq, bseq, la, lb, table32, gc, k, dev
                 )
                 # traceback walk runs on-device: only the op sequence
                 # [steps, B] int8 crosses the host link, not the bp stack

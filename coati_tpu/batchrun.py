@@ -1,0 +1,159 @@
+"""Batch alignment stream: align many pairs with progress manifest + resume.
+
+The reference aligns one pair per process invocation; the TPU framework's
+primary workload is streaming millions of pairs through batched kernels.
+This module adds the surrounding runtime the reference never needed
+(SURVEY.md section 5): length-bucketed scheduling, a JSONL results stream,
+and a crash-safe resume manifest (every completed pair index is recorded;
+on restart, finished work is skipped).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+from coati_tpu import utils
+from coati_tpu.io.fasta import read_fasta
+from coati_tpu.structs import AlignmentParams
+
+
+def read_pairs_fasta(path: str):
+    """Read a multi-FASTA whose records pair up consecutively
+    (anc0, des0, anc1, des1, ...)."""
+    with open(path) as f:
+        data = read_fasta(f)
+    if data.size() % 2 != 0:
+        raise ValueError("Pair-stream FASTA must contain an even number of sequences.")
+    pairs = []
+    for i in range(0, data.size(), 2):
+        pairs.append(
+            (data.names[i], data.seqs[i], data.names[i + 1], data.seqs[i + 1])
+        )
+    return pairs
+
+
+def _load_done(manifest: str) -> set:
+    done = set()
+    if manifest and os.path.exists(manifest):
+        with open(manifest) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    done.add(int(line))
+    return done
+
+
+def batch_align(
+    aln: AlignmentParams,
+    pairs,
+    out_stream,
+    manifest: str = "",
+    chunk: int = 2048,
+) -> int:
+    """Align `pairs` [(name_a, seq_a, name_b, seq_b), ...] under the marginal
+    model in aln; write one JSON line per pair to out_stream; record
+    completed indices in `manifest` for resume. Returns pairs aligned."""
+    from coati_tpu.align.engine import viterbi_align_batch
+
+    utils.set_subst(aln)
+    done = _load_done(manifest)
+    mf = open(manifest, "a") if manifest else None
+
+    todo = [i for i in range(len(pairs)) if i not in done]
+    n_aligned = 0
+    try:
+        for s in range(0, len(todo), chunk):
+            idxs = todo[s : s + chunk]
+            enc_as, enc_bs, astrs, bstrs, stops, keep = [], [], [], [], [], []
+            for i in idxs:
+                na, sa, nb, sb = pairs[i]
+                from coati_tpu.structs import SeqData
+
+                d = SeqData(names=[na, nb], seqs=[sa, sb])
+                utils.trim_end_stops(d)
+                try:
+                    ea, eb = utils.encode_marginal(d.seqs[0], d.seqs[1])
+                except ValueError as exc:
+                    out_stream.write(json.dumps(
+                        {"pair": i, "error": str(exc)}) + "\n")
+                    if mf:
+                        mf.write(f"{i}\n")
+                    continue
+                enc_as.append(ea)
+                enc_bs.append(eb)
+                astrs.append(d.seqs[0])
+                bstrs.append(d.seqs[1])
+                stops.append(d.stops)
+                keep.append(i)
+
+            if not keep:
+                continue
+            results = viterbi_align_batch(
+                enc_as, enc_bs, astrs, bstrs, aln.subst_matrix, aln.gap
+            )
+            for i, r, st in zip(keep, results, stops):
+                from coati_tpu.structs import SeqData
+
+                d = SeqData(names=[pairs[i][0], pairs[i][2]],
+                            seqs=[r.seq0, r.seq1], score=r.score, stops=st)
+                utils.restore_end_stops(d, aln.gap)
+                out_stream.write(json.dumps({
+                    "pair": i,
+                    "alignment": {d.names[0]: d.seqs[0], d.names[1]: d.seqs[1]},
+                    "score": float(np.float32(d.score)),
+                }) + "\n")
+                if mf:
+                    mf.write(f"{i}\n")
+                n_aligned += 1
+            if mf:
+                mf.flush()
+            out_stream.flush()
+    finally:
+        if mf:
+            mf.close()
+    return n_aligned
+
+
+def cmd_batch(argv) -> int:
+    """CLI: coati-tpu batch pairs.fasta [-o out.jsonl] [--manifest m.txt]"""
+    import argparse
+    import sys
+
+    p = argparse.ArgumentParser(
+        prog="coati-tpu batch",
+        description="Batch-align a stream of sequence pairs (resumable)",
+    )
+    p.add_argument("input", help="multi-FASTA of consecutive (anc, des) pairs")
+    p.add_argument("-o", "--output", default="", help="output JSONL (default stdout)")
+    p.add_argument("--manifest", default="", help="progress manifest for resume")
+    p.add_argument("-m", "--model", default="mar-mg",
+                   choices=["mar-mg", "mar-ecm"])
+    p.add_argument("-t", "--time", type=float, default=0.0133, dest="br_len")
+    p.add_argument("-g", "--gap-open", type=float, default=0.001)
+    p.add_argument("-e", "--gap-extend", type=float, default=1 - 1 / 6)
+    p.add_argument("-k", "--gap-len", type=int, default=1)
+    p.add_argument("-w", "--omega", type=float, default=0.2)
+    args = p.parse_args(argv)
+
+    aln = AlignmentParams()
+    aln.model = args.model
+    aln.br_len = args.br_len
+    aln.gap.open = args.gap_open
+    aln.gap.extend = args.gap_extend
+    aln.gap.len = args.gap_len
+    aln.omega = args.omega
+
+    pairs = read_pairs_fasta(args.input)
+    out = open(args.output, "w" if not args.manifest else "a") \
+        if args.output else sys.stdout
+    try:
+        n = batch_align(aln, pairs, out, manifest=args.manifest)
+    finally:
+        if args.output:
+            out.close()
+    print(f"aligned {n} pairs", file=sys.stderr)
+    return 0

@@ -209,6 +209,12 @@ def cmd_version(argv) -> int:
     return 0
 
 
+def cmd_batch(argv) -> int:
+    from coati_tpu.batchrun import cmd_batch as run
+
+    return run(argv)
+
+
 VERBS = {
     "alignpair": cmd_alignpair,
     "msa": cmd_msa,
@@ -216,6 +222,7 @@ VERBS = {
     "format": cmd_format,
     "genseed": cmd_genseed,
     "version": cmd_version,
+    "batch": cmd_batch,
 }
 
 

@@ -1,0 +1,260 @@
+"""Pallas TPU wavefront kernel for the pair-HMM DP.
+
+Why Pallas: the XLA scan version round-trips its diagonal carries (6 x
+[B, C] f32) plus a [B, 15, C] emission slice through HBM every step —
+~100 B/cell of HBM traffic for ~40 flops/cell of VPU work, capping
+throughput at ~1.5 Gcells/s on v5e. This kernel keeps everything resident
+in VMEM:
+
+  - ring buffers of the last max(k,2)+1 diagonals (M/D/I),
+  - a sliding emission window Gwin[BC, 15, C] holding table rows for the
+    ancestor positions intersecting the current diagonal, advanced by a
+    roll + one fresh row per step (the row arrives via an auto-pipelined
+    input block, index-mapped to grid step d),
+  - the descendant codes b_slot for a 15-way compare/select emission sum.
+
+Grid = (batch_chunks, diagonals); only packed backpointers (1 B/cell) and
+the captured corner scores leave the chip. Numerics (f32 op order, margin
+formulas, tie-break comparisons) are identical to align/wavefront.py and
+therefore to the reference C++ (align_pair.cc:62-139).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from coati_tpu.constants import F32_LOWEST
+
+LOWEST = float(F32_LOWEST)  # plain float: jnp scalars get captured as consts
+
+
+def _shift_right(x, s):
+    """x[..., j] <- x[..., j-s] along the last (slot) axis, LOWEST fill."""
+    if s == 0:
+        return x
+    rolled = pltpu.roll(x, s, axis=x.ndim - 1)
+    j = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.where(j < s, LOWEST, rolled)
+
+
+def _argmax_mdi_i32(m, d, i):
+    code = jnp.where(d > m, 1, 0)
+    best = jnp.maximum(m, d)
+    return jnp.where(i > best, 2, code)
+
+
+def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int):
+    def kernel(
+        grow_ref,  # [1, BC, 15] table row for a[d-k] (auto-pipelined)
+        bslot_ref,  # [BC, C] int32 descendant code per slot
+        cd_ref,  # [BC, C] int32 per-pair corner diagonal (broadcast)
+        cj_ref,  # [BC, C] int32 per-pair corner slot (broadcast)
+        gc_ref,  # [1, 4] f32 gap constants in SMEM
+        bp_ref,  # out [1, BC, C] uint8
+        corner_ref,  # out [8, BC, 128] f32 (rows 0..2 = M, D, I)
+        Mr_ref,  # scratch [ring, BC, C] f32
+        Dr_ref,
+        Ir_ref,
+        gwin_ref,  # scratch [15, BC, C] f32 emission window
+        cap_ref,  # scratch [3, BC, C] f32 corner capture
+    ):
+        d = pl.program_id(1)
+        ng = gc_ref[0, 0]
+        gs = gc_ref[0, 1]
+        go = gc_ref[0, 2]
+        ge = gc_ref[0, 3]
+        gek1 = ge * jnp.float32(k - 1)
+        gek = ge * jnp.float32(k)
+
+        @pl.when(d == 0)
+        def _init():
+            cap_ref[...] = jnp.full((3, BC, C), LOWEST, jnp.float32)
+            gwin_ref[...] = jnp.zeros((15, BC, C), jnp.float32)
+            # clear stale state from the previous batch chunk so results are
+            # bit-deterministic (only never-visited cells would see it)
+            low = jnp.full((ring, BC, C), LOWEST, jnp.float32)
+            Mr_ref[...] = low
+            Dr_ref[...] = low
+            Ir_ref[...] = low
+
+        # --- advance emission window: Gwin[c, :, j] = table[a[d-k-j], c] ---
+        # roll right by one slot, insert the fresh row at slot 0
+        fresh = grow_ref[0]  # [BC, 15]
+        win = pltpu.roll(gwin_ref[...], 1, axis=2)
+        j3 = jax.lax.broadcasted_iota(jnp.int32, (15, BC, C), 2)
+        fresh_t = jnp.transpose(fresh, (1, 0))[:, :, None]  # [15, BC, 1]
+        valid_fresh = jnp.logical_and(d - k >= 0, d - k < NA)
+        fresh_b = jnp.where(valid_fresh, fresh_t, 0.0)
+        win = jnp.where(j3 == 0, fresh_b, win)
+        gwin_ref[...] = win
+
+        # --- emission: 15-way compare/select sum over nucleotide codes ----
+        b_codes = bslot_ref[...]  # [BC, C]
+        sub = jnp.zeros((BC, C), jnp.float32)
+        for c in range(15):
+            sub = jnp.where(b_codes == c, win[c], sub)
+
+        # --- ring reads -----------------------------------------------------
+        def ring_at(ref, dd):
+            idx = jax.lax.rem(dd + ring * 4, ring)
+            return ref[pl.ds(idx, 1)][0]
+
+        p2M = ring_at(Mr_ref, d - 2)
+        p2D = ring_at(Dr_ref, d - 2)
+        p2I = ring_at(Ir_ref, d - 2)
+        pkM = ring_at(Mr_ref, d - k)
+        pkD = ring_at(Dr_ref, d - k)
+        pkI = ring_at(Ir_ref, d - k)
+
+        p2Ms = _shift_right(p2M, 1)
+        p2Ds = _shift_right(p2D, 1)
+        p2Is = _shift_right(p2I, 1)
+        pkMs = _shift_right(pkM, k)
+        pkIs = _shift_right(pkI, k)
+
+        # --- recurrence (f32 op order == align_pair.cc:98-124) -------------
+        m2m = ((p2Ms + ng) + ng) + sub
+        d2m = (p2Ds + gs) + sub
+        i2m = ((p2Is + gs) + ng) + sub
+        m2d = ((pkM + ng) + go) + gek1
+        i2d = ((pkI + gs) + go) + gek1
+        d2d = pkD + gek
+        m2i = (pkMs + go) + gek1
+        i2i = pkIs + gek
+
+        M = jnp.maximum(jnp.maximum(m2m, d2m), i2m)
+        D = jnp.maximum(jnp.maximum(m2d, d2d), i2d)
+        I = jnp.maximum(m2i, i2i)
+
+        # --- masks & margins ------------------------------------------------
+        j_i = jax.lax.broadcasted_iota(jnp.int32, (BC, C), 1)
+        i_i = d - j_i
+        R = NA + k
+        body = (i_i >= k) & (i_i < R) & (j_i >= k)
+        jf = j_i.astype(jnp.float32)
+        if_ = i_i.astype(jnp.float32)
+        m_marg = jnp.where((i_i == k - 1) & (j_i == k - 1), 0.0, LOWEST)
+        ins_ok = (
+            (i_i == k - 1) & (j_i >= 2 * k - 1) & ((j_i - (k - 1)) % k == 0)
+        )
+        i_marg = jnp.where(ins_ok, go + ge * (jf - 1.0), LOWEST)
+        del_ok = (
+            (j_i == k - 1) & (i_i >= 2 * k - 1) & ((i_i - (k - 1)) % k == 0)
+        )
+        d_marg = jnp.where(del_ok, (ng + go) + ge * (if_ - 1.0), LOWEST)
+
+        M = jnp.where(body, M, m_marg)
+        D = jnp.where(body, D, d_marg)
+        I = jnp.where(body, I, i_marg)
+
+        # --- ring write -----------------------------------------------------
+        slot = jax.lax.rem(d, ring)
+        Mr_ref[pl.ds(slot, 1)] = M[None]
+        Dr_ref[pl.ds(slot, 1)] = D[None]
+        Ir_ref[pl.ds(slot, 1)] = I[None]
+
+        # --- backpointers (traceback-form comparisons) ----------------------
+        bp_m = _argmax_mdi_i32((p2Ms + ng) + ng, p2Ds + gs, (p2Is + gs) + ng)
+        bp_d = _argmax_mdi_i32((pkM + ng) + go, pkD + ge, (pkI + gs) + go)
+        bp_i = jnp.where(pkMs + go > pkIs + ge, 0, 2)
+        bp_ref[0] = (bp_m | (bp_d << 2) | (bp_i << 4)).astype(jnp.uint8)
+
+        # --- corner capture -------------------------------------------------
+        sel = (d == cd_ref[...]) & (j_i == cj_ref[...])
+        cap = cap_ref[...]
+        cap0 = jnp.where(sel, M, cap[0])
+        cap1 = jnp.where(sel, D, cap[1])
+        cap2 = jnp.where(sel, I, cap[2])
+        cap_ref[...] = jnp.stack([cap0, cap1, cap2], axis=0)
+
+        @pl.when(d == Dtot - 1)
+        def _fin():
+            red = jnp.max(cap_ref[...], axis=2)  # [3, BC]
+            out = jnp.broadcast_to(red[:, :, None], (3, BC, 128))
+            corner_ref[0:3] = out
+            corner_ref[3:8] = jnp.zeros((5, BC, 128), jnp.float32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k", "bc", "interpret"))
+def wavefront_pallas(
+    aseq, bseq, lens_a, lens_b, table, gap_consts, *, k: int,
+    bc: int = 32, interpret: bool = False
+):
+    """Viterbi wavefront via Pallas. Returns ((cM, cD, cI), bp) like
+    align.wavefront.wavefront(mode='viterbi')."""
+    B, NA = aseq.shape
+    NB = bseq.shape[1]
+    # pad slots to the 128-lane tile
+    C = ((NB + k + 127) // 128) * 128
+    R = NA + k
+    Dtot = R + (NB + k) - 1
+    ring = max(k, 2) + 1
+    assert B % bc == 0, (B, bc)
+
+    # G rows: table[a[t]] for t in [0, NA), laid out [NA, B, 15] so the
+    # per-step pipelined block (1, bc, 15) satisfies TPU tiling
+    G = jnp.transpose(jnp.take(table, aseq, axis=0), (1, 0, 2))
+
+    b_slot = jnp.pad(
+        bseq, ((0, 0), (k, C - NB - k)), constant_values=99
+    ).astype(jnp.int32)  # 99 = never matches a code
+    corner_d = (lens_a + lens_b + jnp.int32(2 * (k - 1)))[:, None]
+    corner_j = (lens_b + jnp.int32(k - 1))[:, None]
+    cd = jnp.broadcast_to(corner_d, (B, C)).astype(jnp.int32)
+    cj = jnp.broadcast_to(corner_j, (B, C)).astype(jnp.int32)
+    gc = gap_consts.reshape(1, 4).astype(jnp.float32)
+
+    kernel = _make_kernel(k, NA, C, bc, Dtot, ring)
+    grid = (B // bc, Dtot)
+
+    bp, corner = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, bc, 15),
+                lambda bi, d: (jnp.clip(d - k, 0, NA - 1), bi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((bc, C), lambda bi, d: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, C), lambda bi, d: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, C), lambda bi, d: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), lambda bi, d: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bc, C), lambda bi, d: (d, bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, bc, 128), lambda bi, d: (0, bi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Dtot, B, C), jnp.uint8),
+            jax.ShapeDtypeStruct((8, B, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ring, bc, C), jnp.float32),
+            pltpu.VMEM((ring, bc, C), jnp.float32),
+            pltpu.VMEM((ring, bc, C), jnp.float32),
+            pltpu.VMEM((15, bc, C), jnp.float32),
+            pltpu.VMEM((3, bc, C), jnp.float32),
+        ],
+        interpret=interpret,
+    )(G, b_slot, cd, cj, gc)
+
+    ng, gs = gap_consts[0], gap_consts[1]
+    cM = (corner[0, :, 0] + ng) + ng
+    cD = corner[1, :, 0] + gs
+    cI = (corner[2, :, 0] + gs) + ng
+    return (cM, cD, cI), bp
