@@ -181,10 +181,38 @@ PALLAS_BC = 32
 PALLAS_MAX_C = 2816
 
 
-def _run_viterbi(aseq, bseq, la, lb, table32, gc, k, dev):
-    """Dispatch the Viterbi DP fill: Pallas kernel on TPU (VMEM-resident
-    diagonals, ~2-4x the XLA scan), XLA scan elsewhere or when the slot
-    count exceeds the VMEM budget."""
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("k", "use_pallas"))
+def _align_step_jit(aseq, bseq, la, lb, table32, gc, *, k, use_pallas):
+    """Fused DP fill + on-device traceback in ONE dispatch.
+
+    A single executable per chunk matters when the host<->device link has
+    high latency: the packed bp stack never leaves the device, and only the
+    op sequences + scores are fetched."""
+    from coati_tpu.align.wavefront import (
+        traceback_ops_impl,
+        wavefront_impl,
+    )
+
+    if use_pallas:
+        from coati_tpu.kernels.wavefront_pallas import wavefront_pallas
+
+        corners, bp = wavefront_pallas(
+            aseq, bseq, la, lb, table32, gc, k=k, bc=PALLAS_BC
+        )
+    else:
+        corners, bp = wavefront_impl(
+            aseq, bseq, la, lb, table32, gc,
+            k=k, semiring="tropical", mode="viterbi",
+        )
+    ops, (_, score) = traceback_ops_impl(bp, corners, la, lb, k=k)
+    return ops, score
+
+
+def _align_step(aseq, bseq, la, lb, table32, gc, k, dev):
+    """Run one fused chunk; returns (ops [steps,B] backward, score [B])."""
     B, NA = aseq.shape
     NB = bseq.shape[1]
     C = ((NB + k + 127) // 128) * 128
@@ -192,29 +220,23 @@ def _run_viterbi(aseq, bseq, la, lb, table32, gc, k, dev):
         getattr(dev, "platform", "cpu") not in ("cpu",)
         and C <= PALLAS_MAX_C
     )
-    if use_pallas:
-        from coati_tpu.kernels.wavefront_pallas import wavefront_pallas
-
-        pad_b = (-B) % PALLAS_BC
-        if pad_b:
-            aseq = np.concatenate([aseq, np.zeros((pad_b, NA), np.int32)])
-            bseq = np.concatenate([bseq, np.zeros((pad_b, NB), np.int32)])
-            la = np.concatenate([la, np.full(pad_b, 3 * k, np.int32)])
-            lb = np.concatenate([lb, np.full(pad_b, k, np.int32)])
-        corners, bp = wavefront_pallas(
-            jnp.asarray(aseq), jnp.asarray(bseq), jnp.asarray(la),
-            jnp.asarray(lb), jnp.asarray(table32), jnp.asarray(gc),
-            k=k, bc=PALLAS_BC,
-        )
-        if pad_b:
-            corners = tuple(c[:B] for c in corners)
-            bp = bp[:, :B]
-        return corners, bp
-    return wavefront(
+    pad_b = (-B) % PALLAS_BC if use_pallas else 0
+    if pad_b:
+        aseq = np.concatenate([aseq, np.zeros((pad_b, NA), np.int32)])
+        bseq = np.concatenate([bseq, np.zeros((pad_b, NB), np.int32)])
+        la = np.concatenate([la, np.full(pad_b, 3 * k, np.int32)])
+        lb = np.concatenate([lb, np.full(pad_b, k, np.int32)])
+    ops, score = _align_step_jit(
         jnp.asarray(aseq), jnp.asarray(bseq), jnp.asarray(la),
         jnp.asarray(lb), jnp.asarray(table32), jnp.asarray(gc),
-        k=k, semiring="tropical", mode="viterbi",
+        k=k, use_pallas=use_pallas,
     )
+    ops = np.asarray(jax.device_get(ops))
+    score = np.asarray(jax.device_get(score))
+    if pad_b:
+        ops = ops[:, :B]
+        score = score[:B]
+    return ops, score
 
 
 def _pad_batch(enc_as, enc_bs, quantum):
@@ -263,21 +285,22 @@ def viterbi_align_batch(
         max_b = max(1, max_batch_cells // cells)
         for s in range(0, len(idxs), max_b):
             chunk = idxs[s : s + max_b]
+            # pad short tail chunks with dummy pairs so every chunk of a
+            # bucket shares one compiled shape
+            n_real = len(chunk)
+            pad_n = (max_b - n_real) if (s > 0 and n_real < max_b) else 0
+            padded = chunk + [chunk[0]] * pad_n
             aseq, bseq, la, lb = _pad_batch(
-                [enc_as[i] for i in chunk], [enc_bs[i] for i in chunk], quantum
+                [enc_as[i] for i in padded], [enc_bs[i] for i in padded],
+                quantum,
             )
-            dev = _device_for(len(chunk) * cells)
+            dev = _device_for(len(padded) * cells)
             with jax.default_device(dev):
-                corners, bp = _run_viterbi(
+                ops, score = _align_step(
                     aseq, bseq, la, lb, table32, gc, k, dev
                 )
-                # traceback walk runs on-device: only the op sequence
-                # [steps, B] int8 crosses the host link, not the bp stack
-                ops, (_, score) = traceback_ops(
-                    bp, corners, jnp.asarray(la), jnp.asarray(lb), k=k
-                )
-            ops = np.asarray(jax.device_get(ops))[::-1]  # forward order
-            score = np.asarray(jax.device_get(score))
+            ops = ops[::-1, :n_real]  # forward order, drop padding
+            score = score[:n_real]
             out = ops_to_strings(
                 ops,
                 score,
