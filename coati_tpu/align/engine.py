@@ -17,11 +17,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from coati_tpu.align.wavefront import (
-    gap_consts_array,
-    traceback_ops,
-    wavefront,
-)
+import functools
+
+from coati_tpu.align.wavefront import gap_consts_array, wavefront
 from coati_tpu.constants import F32_LOWEST
 
 # persistent compilation cache: the wavefront scan compiles once per padded
@@ -179,9 +177,6 @@ def ops_to_strings(ops_fwd, score, a_strs, b_strs, k):
 PALLAS_BC = 32
 # scratch budget: (3*ring + 15 + 3) * bc * C * 4 bytes must fit VMEM
 PALLAS_MAX_C = 2816
-
-
-import functools
 
 
 @functools.partial(jax.jit, static_argnames=("k", "use_pallas"))
