@@ -142,13 +142,23 @@ def traceback_batch(bp, corners, lens_a, lens_b, a_strs, b_strs, k):
 
 
 def ops_to_strings(ops_fwd, score, a_strs, b_strs, k):
-    """Build aligned strings from forward-ordered op codes, vectorized.
+    """Build aligned strings from forward-ordered op codes.
 
     ops_fwd: [steps, B] int8 with -1 padding (leading, since the walk ran
-    backward and was reversed). Each op consumes 1 (match) or k (gap unit)
-    characters; numpy cumsums map ops to character positions with no
-    per-character Python loop.
+    backward and was reversed). Uses the native C++ single-pass builder
+    when available; numpy cumsum fallback otherwise.
     """
+    try:
+        from coati_tpu import native
+
+        if native.available():
+            pairs = native.ops_to_strings_native(ops_fwd, a_strs, b_strs, k)
+            return [
+                AlignResult(s0, s1, float(score[p]))
+                for p, (s0, s1) in enumerate(pairs)
+            ]
+    except Exception:
+        pass
     results = []
     for p in range(ops_fwd.shape[1]):
         ops = ops_fwd[:, p]

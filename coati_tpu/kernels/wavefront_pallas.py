@@ -7,16 +7,20 @@ throughput at ~1.5 Gcells/s on v5e. This kernel keeps everything resident
 in VMEM:
 
   - ring buffers of the last max(k,2)+1 diagonals (M/D/I),
-  - a sliding emission window Gwin[BC, 15, C] holding table rows for the
+  - a sliding emission window Gwin[15, BC, C] holding table rows for the
     ancestor positions intersecting the current diagonal, advanced by a
     roll + one fresh row per step (the row arrives via an auto-pipelined
     input block, index-mapped to grid step d),
-  - the descendant codes b_slot for a 15-way compare/select emission sum.
+  - resident float one-hot masks of the descendant codes, so the emission
+    is 15 fused multiply-adds per cell,
+  - per-diagonal margin values and body masks precomputed once per call
+    on the XLA side and streamed in as (1, C) blocks per step.
 
-Grid = (batch_chunks, diagonals); only packed backpointers (1 B/cell) and
-the captured corner scores leave the chip. Numerics (f32 op order, margin
-formulas, tie-break comparisons) are identical to align/wavefront.py and
-therefore to the reference C++ (align_pair.cc:62-139).
+Grid = (batch_chunks, diagonals); only packed backpointers (1 B/cell,
+optional) and the captured corner scores leave the chip. Numerics (f32 op
+order, margin formulas, tie-break comparisons) are identical to
+align/wavefront.py and therefore to the reference C++
+(align_pair.cc:62-139).
 """
 
 from __future__ import annotations
@@ -49,21 +53,25 @@ def _argmax_mdi_i32(m, d, i):
     return jnp.where(i > best, 2, code)
 
 
-def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int):
+def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
+                 want_bp: bool):
     def kernel(
         grow_ref,  # [1, BC, 15] table row for a[d-k] (auto-pipelined)
-        bslot_ref,  # [BC, C] int32 descendant code per slot
+        ohb_ref,  # [15, BC, C] f32 one-hot of descendant codes (resident)
         cd_ref,  # [BC, C] int32 per-pair corner diagonal (broadcast)
         cj_ref,  # [BC, C] int32 per-pair corner slot (broadcast)
+        body_ref,  # [1, 1, C] f32 1.0 where body cell on this diagonal
+        margM_ref,  # [1, 1, C] f32 margin-or-LOWEST for M on this diagonal
+        margD_ref,  # [1, 1, C] f32
+        margI_ref,  # [1, 1, C] f32
         gc_ref,  # [1, 4] f32 gap constants in SMEM
-        bp_ref,  # out [1, BC, C] uint8
-        corner_ref,  # out [8, BC, 128] f32 (rows 0..2 = M, D, I)
-        Mr_ref,  # scratch [ring, BC, C] f32
-        Dr_ref,
-        Ir_ref,
-        gwin_ref,  # scratch [15, BC, C] f32 emission window
-        cap_ref,  # scratch [3, BC, C] f32 corner capture
+        *refs,
     ):
+        if want_bp:
+            bp_ref, corner_ref, Mr_ref, Dr_ref, Ir_ref, gwin_ref, cap_ref = refs
+        else:
+            corner_ref, Mr_ref, Dr_ref, Ir_ref, gwin_ref, cap_ref = refs
+            bp_ref = None
         d = pl.program_id(1)
         ng = gc_ref[0, 0]
         gs = gc_ref[0, 1]
@@ -84,7 +92,6 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int):
             Ir_ref[...] = low
 
         # --- advance emission window: Gwin[c, :, j] = table[a[d-k-j], c] ---
-        # roll right by one slot, insert the fresh row at slot 0
         fresh = grow_ref[0]  # [BC, 15]
         win = pltpu.roll(gwin_ref[...], 1, axis=2)
         j3 = jax.lax.broadcasted_iota(jnp.int32, (15, BC, C), 2)
@@ -94,11 +101,11 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int):
         win = jnp.where(j3 == 0, fresh_b, win)
         gwin_ref[...] = win
 
-        # --- emission: 15-way compare/select sum over nucleotide codes ----
-        b_codes = bslot_ref[...]  # [BC, C]
-        sub = jnp.zeros((BC, C), jnp.float32)
-        for c in range(15):
-            sub = jnp.where(b_codes == c, win[c], sub)
+        # --- emission: 15 multiply-adds against resident one-hot masks -----
+        oh = ohb_ref[...]
+        sub = oh[0] * win[0]
+        for c in range(1, 15):
+            sub = sub + oh[c] * win[c]
 
         # --- ring reads -----------------------------------------------------
         def ring_at(ref, dd):
@@ -132,26 +139,11 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int):
         D = jnp.maximum(jnp.maximum(m2d, d2d), i2d)
         I = jnp.maximum(m2i, i2i)
 
-        # --- masks & margins ------------------------------------------------
-        j_i = jax.lax.broadcasted_iota(jnp.int32, (BC, C), 1)
-        i_i = d - j_i
-        R = NA + k
-        body = (i_i >= k) & (i_i < R) & (j_i >= k)
-        jf = j_i.astype(jnp.float32)
-        if_ = i_i.astype(jnp.float32)
-        m_marg = jnp.where((i_i == k - 1) & (j_i == k - 1), 0.0, LOWEST)
-        ins_ok = (
-            (i_i == k - 1) & (j_i >= 2 * k - 1) & ((j_i - (k - 1)) % k == 0)
-        )
-        i_marg = jnp.where(ins_ok, go + ge * (jf - 1.0), LOWEST)
-        del_ok = (
-            (j_i == k - 1) & (i_i >= 2 * k - 1) & ((i_i - (k - 1)) % k == 0)
-        )
-        d_marg = jnp.where(del_ok, (ng + go) + ge * (if_ - 1.0), LOWEST)
-
-        M = jnp.where(body, M, m_marg)
-        D = jnp.where(body, D, d_marg)
-        I = jnp.where(body, I, i_marg)
+        # --- body/margin select (streamed per diagonal) ---------------------
+        body = body_ref[0, 0] > 0.5  # [C]
+        M = jnp.where(body[None, :], M, margM_ref[0, 0][None, :])
+        D = jnp.where(body[None, :], D, margD_ref[0, 0][None, :])
+        I = jnp.where(body[None, :], I, margI_ref[0, 0][None, :])
 
         # --- ring write -----------------------------------------------------
         slot = jax.lax.rem(d, ring)
@@ -160,12 +152,18 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int):
         Ir_ref[pl.ds(slot, 1)] = I[None]
 
         # --- backpointers (traceback-form comparisons) ----------------------
-        bp_m = _argmax_mdi_i32((p2Ms + ng) + ng, p2Ds + gs, (p2Is + gs) + ng)
-        bp_d = _argmax_mdi_i32((pkM + ng) + go, pkD + ge, (pkI + gs) + go)
-        bp_i = jnp.where(pkMs + go > pkIs + ge, 0, 2)
-        bp_ref[0] = (bp_m | (bp_d << 2) | (bp_i << 4)).astype(jnp.uint8)
+        if want_bp:
+            bp_m = _argmax_mdi_i32(
+                (p2Ms + ng) + ng, p2Ds + gs, (p2Is + gs) + ng
+            )
+            bp_d = _argmax_mdi_i32(
+                (pkM + ng) + go, pkD + ge, (pkI + gs) + go
+            )
+            bp_i = jnp.where(pkMs + go > pkIs + ge, 0, 2)
+            bp_ref[0] = (bp_m | (bp_d << 2) | (bp_i << 4)).astype(jnp.uint8)
 
         # --- corner capture -------------------------------------------------
+        j_i = jax.lax.broadcasted_iota(jnp.int32, (BC, C), 1)
         sel = (d == cd_ref[...]) & (j_i == cj_ref[...])
         cap = cap_ref[...]
         cap0 = jnp.where(sel, M, cap[0])
@@ -183,13 +181,36 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("k", "bc", "interpret"))
+def _diag_tables(k, NA, C, Dtot, gap_consts):
+    """Per-diagonal body mask and margin values, [Dtot, C] f32 each.
+
+    Same f32 formulas as the in-kernel versions previously (and as the XLA
+    kernel), computed once per call instead of once per step."""
+    ng, gs, go, ge = (gap_consts[i] for i in range(4))
+    d = jnp.arange(Dtot, dtype=jnp.int32)[:, None]
+    j = jnp.arange(C, dtype=jnp.int32)[None, :]
+    i = d - j
+    R = NA + k
+    body = ((i >= k) & (i < R) & (j >= k)).astype(jnp.float32)
+    jf = j.astype(jnp.float32)
+    if_ = i.astype(jnp.float32)
+    mM = jnp.where((i == k - 1) & (j == k - 1), jnp.float32(0.0), LOWEST)
+    ins_ok = (i == k - 1) & (j >= 2 * k - 1) & ((j - (k - 1)) % k == 0)
+    mI = jnp.where(ins_ok, go + ge * (jf - 1.0), LOWEST)
+    del_ok = (j == k - 1) & (i >= 2 * k - 1) & ((i - (k - 1)) % k == 0)
+    mD = jnp.where(del_ok, (ng + go) + ge * (if_ - 1.0), LOWEST)
+    return body, mM, mD, mI
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "bc", "want_bp", "interpret")
+)
 def wavefront_pallas(
     aseq, bseq, lens_a, lens_b, table, gap_consts, *, k: int,
-    bc: int = 32, interpret: bool = False
+    bc: int = 32, want_bp: bool = True, interpret: bool = False
 ):
     """Viterbi wavefront via Pallas. Returns ((cM, cD, cI), bp) like
-    align.wavefront.wavefront(mode='viterbi')."""
+    align.wavefront.wavefront(mode='viterbi'); bp is None if want_bp=False."""
     B, NA = aseq.shape
     NB = bseq.shape[1]
     # pad slots to the 128-lane tile
@@ -206,43 +227,61 @@ def wavefront_pallas(
     b_slot = jnp.pad(
         bseq, ((0, 0), (k, C - NB - k)), constant_values=99
     ).astype(jnp.int32)  # 99 = never matches a code
+    oh_b = jax.nn.one_hot(b_slot, 15, axis=0, dtype=jnp.float32)  # [15,B,C]
     corner_d = (lens_a + lens_b + jnp.int32(2 * (k - 1)))[:, None]
     corner_j = (lens_b + jnp.int32(k - 1))[:, None]
     cd = jnp.broadcast_to(corner_d, (B, C)).astype(jnp.int32)
     cj = jnp.broadcast_to(corner_j, (B, C)).astype(jnp.int32)
     gc = gap_consts.reshape(1, 4).astype(jnp.float32)
+    body, mM, mD, mI = (
+        x[:, None, :] for x in _diag_tables(k, NA, C, Dtot, gap_consts)
+    )
 
-    kernel = _make_kernel(k, NA, C, bc, Dtot, ring)
+    kernel = _make_kernel(k, NA, C, bc, Dtot, ring, want_bp)
     grid = (B // bc, Dtot)
 
-    bp, corner = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec(
+            (1, bc, 15),
+            lambda bi, d: (jnp.clip(d - k, 0, NA - 1), bi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((15, bc, C), lambda bi, d: (0, bi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bc, C), lambda bi, d: (bi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bc, C), lambda bi, d: (bi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, C), lambda bi, d: (d, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, C), lambda bi, d: (d, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, C), lambda bi, d: (d, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, C), lambda bi, d: (d, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4), lambda bi, d: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    out_specs = []
+    out_shape = []
+    if want_bp:
+        out_specs.append(
+            pl.BlockSpec((1, bc, C), lambda bi, d: (d, bi, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((Dtot, B, C), jnp.uint8))
+    out_specs.append(
+        pl.BlockSpec((8, bc, 128), lambda bi, d: (0, bi, 0),
+                     memory_space=pltpu.VMEM)
+    )
+    out_shape.append(jax.ShapeDtypeStruct((8, B, 128), jnp.float32))
+
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, bc, 15),
-                lambda bi, d: (jnp.clip(d - k, 0, NA - 1), bi, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((bc, C), lambda bi, d: (bi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bc, C), lambda bi, d: (bi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bc, C), lambda bi, d: (bi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4), lambda bi, d: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, bc, C), lambda bi, d: (d, bi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, bc, 128), lambda bi, d: (0, bi, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Dtot, B, C), jnp.uint8),
-            jax.ShapeDtypeStruct((8, B, 128), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((ring, bc, C), jnp.float32),
             pltpu.VMEM((ring, bc, C), jnp.float32),
@@ -251,7 +290,13 @@ def wavefront_pallas(
             pltpu.VMEM((3, bc, C), jnp.float32),
         ],
         interpret=interpret,
-    )(G, b_slot, cd, cj, gc)
+    )(G, oh_b, cd, cj, body, mM, mD, mI, gc)
+
+    if want_bp:
+        bp, corner = outs
+    else:
+        (corner,) = outs
+        bp = None
 
     ng, gs = gap_consts[0], gap_consts[1]
     cM = (corner[0, :, 0] + ng) + ng

@@ -39,8 +39,51 @@ def _load():
         ctypes.c_float, ctypes.c_float, ctypes.c_int, u8p,
         ctypes.POINTER(ctypes.c_int),
     ]
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    cp = ctypes.c_char_p
+    lib.coati_ops_to_strings.restype = None
+    lib.coati_ops_to_strings.argtypes = [
+        i8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        cp, i64p, cp, i64p,
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+    ]
     _lib = lib
     return lib
+
+
+def ops_to_strings_native(ops_fwd, a_strs, b_strs, k):
+    """Build aligned string pairs from forward-ordered op codes in one
+    native pass. Returns list of (seq0, seq1)."""
+    lib = _load()
+    ops = np.ascontiguousarray(ops_fwd, dtype=np.int8)
+    steps, n = ops.shape
+    a_cat = "".join(a_strs).encode("ascii")
+    b_cat = "".join(b_strs).encode("ascii")
+    a_off = np.zeros(n, np.int64)
+    b_off = np.zeros(n, np.int64)
+    pos = 0
+    for i, s in enumerate(a_strs):
+        a_off[i] = pos
+        pos += len(s)
+    pos = 0
+    for i, s in enumerate(b_strs):
+        b_off[i] = pos
+        pos += len(s)
+    max_w = max((len(a) + len(b) for a, b in zip(a_strs, b_strs)), default=1)
+    out0 = np.zeros((n, max_w), np.uint8)
+    out1 = np.zeros((n, max_w), np.uint8)
+    out_len = np.zeros(n, np.int32)
+    lib.coati_ops_to_strings(ops, steps, n, k, a_cat, a_off, b_cat, b_off,
+                             out0, out1, max_w, out_len)
+    res = []
+    for p in range(n):
+        w = int(out_len[p])
+        res.append((out0[p, :w].tobytes().decode("ascii"),
+                    out1[p, :w].tobytes().decode("ascii")))
+    return res
 
 
 def available() -> bool:

@@ -186,4 +186,47 @@ float coati_viterbi_bp(const int32_t* a, int na, const int32_t* b, int nb,
   return forward_impl<false, true>(a, na, b, nb, table, g, bp, out_state);
 }
 
+// Build aligned strings from forward-ordered op codes (one pass, all pairs).
+//
+// ops: [steps, B] int8 column-major over pairs (C order: ops[s*B + p]),
+// codes 0=match, 1=delete (consumes k ancestor chars), 2=insert (k des
+// chars), -1=padding. Sequences are concatenated with offsets. Outputs are
+// written into out0/out1 (caller-allocated, stride out_stride per pair,
+// NUL-padded) and out_len receives each alignment's length.
+void coati_ops_to_strings(const int8_t* ops, int steps, int n_pairs, int k,
+                          const char* a_cat, const int64_t* a_off,
+                          const char* b_cat, const int64_t* b_off,
+                          char* out0, char* out1, int64_t out_stride,
+                          int32_t* out_len) {
+  for (int p = 0; p < n_pairs; ++p) {
+    const char* a = a_cat + a_off[p];
+    const char* b = b_cat + b_off[p];
+    char* s0 = out0 + static_cast<int64_t>(p) * out_stride;
+    char* s1 = out1 + static_cast<int64_t>(p) * out_stride;
+    int64_t ai = 0, bi = 0, w = 0;
+    for (int s = 0; s < steps; ++s) {
+      const int8_t op = ops[static_cast<int64_t>(s) * n_pairs + p];
+      if (op < 0) continue;
+      if (op == 0) {
+        s0[w] = a[ai++];
+        s1[w] = b[bi++];
+        ++w;
+      } else if (op == 1) {
+        for (int t = 0; t < k; ++t) {
+          s0[w] = a[ai++];
+          s1[w] = '-';
+          ++w;
+        }
+      } else {
+        for (int t = 0; t < k; ++t) {
+          s0[w] = '-';
+          s1[w] = b[bi++];
+          ++w;
+        }
+      }
+    }
+    out_len[p] = static_cast<int32_t>(w);
+  }
+}
+
 }  // extern "C"
