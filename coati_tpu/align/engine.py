@@ -212,7 +212,9 @@ def _align_step_jit(aseq, bseq, la, lb, table32, gc, *, k, use_pallas):
             aseq, bseq, la, lb, table32, gc,
             k=k, semiring="tropical", mode="viterbi",
         )
-    ops, (_, score) = traceback_ops_impl(bp, corners, la, lb, k=k)
+    ops, (_, score) = traceback_ops_impl(
+        bp, corners, la, lb, k=k, u_space=use_pallas
+    )
     return ops, score
 
 

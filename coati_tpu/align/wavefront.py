@@ -229,13 +229,17 @@ wavefront = functools.partial(
 )(wavefront_impl)
 
 
-def traceback_ops_impl(bp, corners, lens_a, lens_b, *, k: int):
+def traceback_ops_impl(bp, corners, lens_a, lens_b, *, k: int,
+                       u_space: bool = False):
     """Device-side vectorized traceback walk.
 
     The per-pair walk is sequential, but all pairs in the batch advance one
     step per scan iteration; only the tiny op sequence [max_steps, B] int8
     leaves the device (the packed bp stack [Dtot, B, C] stays in HBM —
     important when the host link is slow).
+
+    u_space: bp produced by the Pallas kernel stores cell (i, j) at column
+    i mod C instead of j.
 
     Returns (ops, (start_state, score)): ops[s, p] is the s-th op walking
     BACKWARD from the corner (0=match, 1=delete, 2=insert, -1=inactive).
@@ -253,7 +257,8 @@ def traceback_ops_impl(bp, corners, lens_a, lens_b, *, k: int):
     def step(carry, _):
         i, j, st = carry
         active = (i > k - 1) | (j > k - 1)
-        code = bp[i + j, rows, j].astype(jnp.int32)
+        col = jax.lax.rem(i, C) if u_space else j
+        code = bp[i + j, rows, col].astype(jnp.int32)
         nxt_m = code & 3
         nxt_d = (code >> 2) & 3
         nxt_i = (code >> 4) & 3
@@ -270,9 +275,9 @@ def traceback_ops_impl(bp, corners, lens_a, lens_b, *, k: int):
     return ops, (st0, score)
 
 
-traceback_ops = functools.partial(jax.jit, static_argnames=("k",))(
-    traceback_ops_impl
-)
+traceback_ops = functools.partial(
+    jax.jit, static_argnames=("k", "u_space")
+)(traceback_ops_impl)
 
 
 def gap_consts_array(gap) -> np.ndarray:

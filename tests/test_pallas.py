@@ -1,0 +1,114 @@
+"""Pallas wavefront kernel vs the XLA scan kernel (interpret mode on CPU).
+
+Corners must match bitwise-close and every valid-region backpointer must be
+identical (same tie-break semantics as the reference traceback)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from coati_tpu.align.wavefront import gap_consts_array, wavefront
+from coati_tpu.kernels.wavefront_pallas import wavefront_pallas
+from coati_tpu.structs import GapParams
+
+
+@pytest.mark.parametrize("k,NA,NB", [(1, 48, 48), (3, 48, 48), (1, 96, 60)])
+def test_pallas_matches_xla(mg94_table, k, NA, NB):
+    rng = np.random.default_rng(17 + k)
+    B = 32
+    gap = GapParams(len=k)
+    gc = gap_consts_array(gap)
+    aseq = rng.integers(0, 183, (B, NA)).astype(np.int32)
+    bseq = rng.integers(0, 15, (B, NB)).astype(np.int32)
+    la = np.full(B, NA - (NA % (3 * k)) if NA % (3 * k) else NA, np.int32)
+    lb = np.full(B, NB - (NB % k) if NB % k else NB, np.int32)
+    args = [jnp.asarray(x) for x in (aseq, bseq, la, lb, mg94_table, gc)]
+
+    (cm1, cd1, ci1), bp1 = wavefront(
+        *args, k=k, semiring="tropical", mode="viterbi"
+    )
+    (cm2, cd2, ci2), bp2 = wavefront_pallas(
+        *args, k=k, bc=32, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(cm1), np.asarray(cm2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cd1), np.asarray(cd2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ci1), np.asarray(ci2), atol=1e-4)
+
+    bp1 = np.asarray(bp1)
+    bp2 = np.asarray(bp2)
+    C1 = bp1.shape[2]
+    C2 = bp2.shape[2]
+    mismatch = 0
+    for d in range(bp1.shape[0]):
+        js = np.arange(k - 1, min(d - (k - 1), C1 - 1) + 1)
+        iis = d - js
+        sel = (iis >= k - 1) & (iis < NA + k)
+        js, iis = js[sel], iis[sel]
+        if len(js) == 0:
+            continue
+        mismatch += int((bp1[d][:, js] != bp2[d][:, iis % C2]).sum())
+    assert mismatch == 0
+
+
+def test_pallas_traceback_roundtrip(mg94_table):
+    """Full fused path (pallas + u-space traceback) = XLA path strings."""
+    import random
+
+    from coati_tpu.align.engine import _align_step, ops_to_strings
+    from coati_tpu.constants import CODONS61
+    from coati_tpu.utils import encode_marginal
+
+    rng = random.Random(5)
+    gap = GapParams()
+    gc = gap_consts_array(gap)
+    enc_as, enc_bs, astrs, bstrs = [], [], [], []
+    for _ in range(32):
+        anc = "".join(rng.choice(CODONS61) for _ in range(rng.randint(2, 10)))
+        des = "".join(rng.choice("ACGT") for _ in range(rng.randint(3, 30)))
+        ea, eb = encode_marginal(anc, des)
+        enc_as.append(ea)
+        enc_bs.append(eb)
+        astrs.append(anc)
+        bstrs.append(des)
+
+    NA = max(len(a) for a in enc_as)
+    NB = max(len(b) for b in enc_bs)
+    B = len(enc_as)
+    aseq = np.zeros((B, NA), np.int32)
+    bseq = np.zeros((B, NB), np.int32)
+    la = np.array([len(a) for a in enc_as], np.int32)
+    lb = np.array([len(b) for b in enc_bs], np.int32)
+    for i, (a, b) in enumerate(zip(enc_as, enc_bs)):
+        aseq[i, : len(a)] = a
+        bseq[i, : len(b)] = b
+
+    import jax
+
+    from coati_tpu.align.engine import _align_step_jit
+
+    table32 = np.asarray(mg94_table, np.float32)
+    # XLA path
+    ops_x, score_x = _align_step_jit(
+        jnp.asarray(aseq), jnp.asarray(bseq), jnp.asarray(la),
+        jnp.asarray(lb), jnp.asarray(table32), jnp.asarray(gc),
+        k=1, use_pallas=False,
+    )
+    rx = ops_to_strings(np.asarray(ops_x)[::-1], np.asarray(score_x),
+                        astrs, bstrs, 1)
+    # Pallas path (interpret via pallas's interpret flag isn't reachable
+    # through _align_step_jit; call the pieces directly)
+    from coati_tpu.align.wavefront import traceback_ops
+    corners, bp = wavefront_pallas(
+        jnp.asarray(aseq), jnp.asarray(bseq), jnp.asarray(la),
+        jnp.asarray(lb), jnp.asarray(table32), jnp.asarray(gc),
+        k=1, bc=32, interpret=True,
+    )
+    ops_p, (_, score_p) = traceback_ops(
+        bp, corners, jnp.asarray(la), jnp.asarray(lb), k=1, u_space=True
+    )
+    rp = ops_to_strings(np.asarray(ops_p)[::-1], np.asarray(score_p),
+                        astrs, bstrs, 1)
+    for a, b in zip(rx, rp):
+        assert (a.seq0, a.seq1) == (b.seq0, b.seq1)
+        assert a.score == pytest.approx(b.score, abs=1e-4)
