@@ -189,8 +189,11 @@ PALLAS_BC = 32
 PALLAS_MAX_C = 2816
 
 
-@functools.partial(jax.jit, static_argnames=("k", "use_pallas"))
-def _align_step_jit(aseq, bseq, la, lb, table32, gc, *, k, use_pallas):
+@functools.partial(
+    jax.jit, static_argnames=("k", "use_pallas", "code_cols")
+)
+def _align_step_jit(aseq, bseq, la, lb, table32, gc, *, k, use_pallas,
+                    code_cols=tuple(range(15))):
     """Fused DP fill + on-device traceback in ONE dispatch.
 
     A single executable per chunk matters when the host<->device link has
@@ -205,16 +208,15 @@ def _align_step_jit(aseq, bseq, la, lb, table32, gc, *, k, use_pallas):
         from coati_tpu.kernels.wavefront_pallas import wavefront_pallas
 
         corners, bp = wavefront_pallas(
-            aseq, bseq, la, lb, table32, gc, k=k, bc=PALLAS_BC
+            aseq, bseq, la, lb, table32, gc, k=k, bc=PALLAS_BC,
+            code_cols=code_cols,
         )
     else:
         corners, bp = wavefront_impl(
             aseq, bseq, la, lb, table32, gc,
             k=k, semiring="tropical", mode="viterbi",
         )
-    ops, (_, score) = traceback_ops_impl(
-        bp, corners, la, lb, k=k, u_space=use_pallas
-    )
+    ops, (_, score) = traceback_ops_impl(bp, corners, la, lb, k=k)
     return ops, score
 
 
@@ -233,10 +235,19 @@ def _align_step(aseq, bseq, la, lb, table32, gc, k, dev):
         bseq = np.concatenate([bseq, np.zeros((pad_b, NB), np.int32)])
         la = np.concatenate([la, np.full(pad_b, 3 * k, np.int32)])
         lb = np.concatenate([lb, np.full(pad_b, k, np.int32)])
+    # shrink the emission code set when the batch has no ambiguity codes
+    # (3x fewer emission planes for plain ACGT data)
+    used = set(np.unique(bseq).tolist())
+    if used <= {0, 1, 2, 3}:
+        code_cols = (0, 1, 2, 3)
+    elif used <= {0, 1, 2, 3, 14}:
+        code_cols = (0, 1, 2, 3, 14)
+    else:
+        code_cols = tuple(range(15))
     ops, score = _align_step_jit(
         jnp.asarray(aseq), jnp.asarray(bseq), jnp.asarray(la),
         jnp.asarray(lb), jnp.asarray(table32), jnp.asarray(gc),
-        k=k, use_pallas=use_pallas,
+        k=k, use_pallas=use_pallas, code_cols=code_cols,
     )
     ops = np.asarray(jax.device_get(ops))
     score = np.asarray(jax.device_get(score))

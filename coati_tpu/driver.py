@@ -49,7 +49,13 @@ def marg_alignment(aln: AlignmentParams) -> bool:
         return True
 
     utils.process_marginal(aln)
-    _viterbi_align(aln)
+    try:
+        _viterbi_align(aln)
+    except MemoryError:
+        # mirror of the reference's bad_alloc guard (align_marginal.cc:72-75)
+        print("ERROR: sequences to align exceed available memory.",
+              file=sys.stderr)
+        return False
     utils.restore_end_stops(aln.data, aln.gap)
     write_output(aln)
     return True

@@ -1,34 +1,26 @@
 """Pallas TPU wavefront kernel for the pair-HMM DP.
 
-Why Pallas: the XLA scan version round-trips its diagonal carries plus a
-[B, 15, C] emission slice through HBM every step — ~100 B/cell of HBM
-traffic for ~40 flops/cell of VPU work. This kernel keeps all DP state in
-VMEM and streams only packed backpointers (1 B/cell, optional) plus corner
-scores off-chip.
+Why Pallas: the XLA scan version round-trips its diagonal carries (6 x
+[B, C] f32) plus a [B, 15, C] emission slice through HBM every step —
+~100 B/cell of HBM traffic for ~40 flops/cell of VPU work, capping
+throughput at ~1.5 Gcells/s on v5e. This kernel keeps everything resident
+in VMEM:
 
-Coordinate system: buffers are indexed by u = i mod C (ancestor ROW index
-modulo the slot count) rather than by column j. On diagonal d the active
-rows are (d-C, d], so u <-> (i, j) is a bijection per diagonal and the
-recurrence sources become circular u-shifts (the wrapped neighbor is
-always the mathematically correct cell — no boundary fill needed):
+  - ring buffers of the last max(k,2)+1 diagonals (M/D/I),
+  - a sliding emission window Gwin[15, BC, C] holding table rows for the
+    ancestor positions intersecting the current diagonal, advanced by a
+    roll + one fresh row per step (the row arrives via an auto-pipelined
+    input block, index-mapped to grid step d),
+  - resident float one-hot masks of the descendant codes, so the emission
+    is 15 fused multiply-adds per cell,
+  - per-diagonal margin values and body masks precomputed once per call
+    on the XLA side and streamed in as (1, C) blocks per step.
 
-    match  source (i-1, j-1), diag d-2: u-shift 1
-    delete source (i-k, j  ), diag d-k: u-shift k
-    insert source (i,   j-k), diag d-k: u-shift 0
-
-The payoff is the emission bookkeeping: in u-space the table-row window
-Gwin[15, BC, C] is STATIC per column (column u always belongs to one row
-at a time) — one fresh column write per step instead of rolling fifteen
-planes — and the descendant-code window is a single int32 plane whose roll
-circulates the code sequence b[j] with per-column phase (each column's j
-advances by one per step; its neighbor already holds the next code).
-Margin values, body masks, and corner positions are precomputed per
-diagonal in u-space on the XLA side and streamed as (1, 1, C) blocks.
-
-Numerics (f32 op order, margin formulas, tie-break comparisons) are
-identical to align/wavefront.py and therefore to the reference C++
-(align_pair.cc:62-139). Backpointers are emitted in u-space; the traceback
-walk indexes bp[i+j, p, i mod C].
+Grid = (batch_chunks, diagonals); only packed backpointers (1 B/cell,
+optional) and the captured corner scores leave the chip. Numerics (f32 op
+order, margin formulas, tie-break comparisons) are identical to
+align/wavefront.py and therefore to the reference C++
+(align_pair.cc:62-139).
 """
 
 from __future__ import annotations
@@ -37,12 +29,22 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from coati_tpu.constants import F32_LOWEST
 
 LOWEST = float(F32_LOWEST)  # plain float: jnp scalars get captured as consts
+
+
+def _shift_right(x, s):
+    """x[..., j] <- x[..., j-s] along the last (slot) axis, LOWEST fill."""
+    if s == 0:
+        return x
+    rolled = pltpu.roll(x, s, axis=x.ndim - 1)
+    j = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.where(j < s, LOWEST, rolled)
 
 
 def _argmax_mdi_i32(m, d, i):
@@ -52,25 +54,23 @@ def _argmax_mdi_i32(m, d, i):
 
 
 def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
-                 want_bp: bool):
+                 want_bp: bool, nc: int):
     def kernel(
-        grow_ref,  # [1, BC, 15] table row for a[d-k] (auto-pipelined)
-        binit_ref,  # [BC, C] int32: bwin layout at d=0 (resident)
+        grow_ref,  # [1, BC, nc] table row for a[d-k] (auto-pipelined)
+        ohb_ref,  # [nc, BC, C] f32 one-hot of descendant codes (resident)
         cd_ref,  # [BC, C] int32 per-pair corner diagonal (broadcast)
-        cu_ref,  # [BC, C] int32 per-pair corner u-column (broadcast)
-        body_ref,  # [1, 1, C] f32 1.0 where body cell on this diagonal (u)
-        margM_ref,  # [1, 1, C] f32 margin-or-LOWEST for M (u-space)
+        cj_ref,  # [BC, C] int32 per-pair corner slot (broadcast)
+        body_ref,  # [1, 1, C] f32 1.0 where body cell on this diagonal
+        margM_ref,  # [1, 1, C] f32 margin-or-LOWEST for M on this diagonal
         margD_ref,  # [1, 1, C] f32
         margI_ref,  # [1, 1, C] f32
         gc_ref,  # [1, 4] f32 gap constants in SMEM
         *refs,
     ):
         if want_bp:
-            (bp_ref, corner_ref, Mr_ref, Dr_ref, Ir_ref, gwin_ref,
-             bwin_ref, cap_ref) = refs
+            bp_ref, corner_ref, Mr_ref, Dr_ref, Ir_ref, gwin_ref, cap_ref = refs
         else:
-            (corner_ref, Mr_ref, Dr_ref, Ir_ref, gwin_ref, bwin_ref,
-             cap_ref) = refs
+            corner_ref, Mr_ref, Dr_ref, Ir_ref, gwin_ref, cap_ref = refs
             bp_ref = None
         d = pl.program_id(1)
         ng = gc_ref[0, 0]
@@ -83,50 +83,52 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
         @pl.when(d == 0)
         def _init():
             cap_ref[...] = jnp.full((3, BC, C), LOWEST, jnp.float32)
-            bwin_ref[...] = binit_ref[...]
-            gwin_ref[...] = jnp.zeros((15, BC, C), jnp.float32)
+            gwin_ref[...] = jnp.zeros((nc, BC, C), jnp.float32)
+            # clear stale state from the previous batch chunk so results are
+            # bit-deterministic (only never-visited cells would see it)
             low = jnp.full((ring, BC, C), LOWEST, jnp.float32)
             Mr_ref[...] = low
             Dr_ref[...] = low
             Ir_ref[...] = low
 
-        @pl.when(d > 0)
-        def _advance():
-            # each column's descendant index j advances by one; the
-            # neighboring column already holds that code (roll circulates)
-            bwin_ref[...] = pltpu.roll(bwin_ref[...], 1, axis=1)
-
-        # gwin: write the entering row's table values into its column
-        u_new = jax.lax.rem(d, C)
-        fresh = grow_ref[0]  # [BC, 15]
+        # --- advance emission window: Gwin[c, :, j] = table[a[d-k-j], c] ---
+        fresh = grow_ref[0]  # [BC, nc]
+        win = pltpu.roll(gwin_ref[...], 1, axis=2)
+        j3 = jax.lax.broadcasted_iota(jnp.int32, (nc, BC, C), 2)
+        fresh_t = jnp.transpose(fresh, (1, 0))[:, :, None]  # [nc, BC, 1]
         valid_fresh = jnp.logical_and(d - k >= 0, d - k < NA)
-        fresh_g = jnp.where(valid_fresh, jnp.transpose(fresh, (1, 0)), 0.0)
-        gwin_ref[:, :, pl.ds(u_new, 1)] = fresh_g[:, :, None]
+        fresh_b = jnp.where(valid_fresh, fresh_t, 0.0)
+        win = jnp.where(j3 == 0, fresh_b, win)
+        gwin_ref[...] = win
 
-        bwin = bwin_ref[...]
-        win = gwin_ref[...]
-        sub = jnp.zeros((BC, C), jnp.float32)
-        for c in range(15):
-            sub = jnp.where(bwin == c, win[c], sub)
+        # --- emission: nc multiply-adds against resident one-hot masks -----
+        oh = ohb_ref[...]
+        sub = oh[0] * win[0]
+        for c in range(1, nc):
+            sub = sub + oh[c] * win[c]
 
-        # --- ring reads (circular u-shifts) ---------------------------------
+        # --- ring reads -----------------------------------------------------
         def ring_at(ref, dd):
             idx = jax.lax.rem(dd + ring * 4, ring)
             return ref[pl.ds(idx, 1)][0]
 
-        p2M = pltpu.roll(ring_at(Mr_ref, d - 2), 1, axis=1)
-        p2D = pltpu.roll(ring_at(Dr_ref, d - 2), 1, axis=1)
-        p2I = pltpu.roll(ring_at(Ir_ref, d - 2), 1, axis=1)
-        pkMs = ring_at(Mr_ref, d - k)  # insert source, shift 0
-        pkIs = ring_at(Ir_ref, d - k)
-        pkM = pltpu.roll(pkMs, k, axis=1)  # delete source, shift k
-        pkD = pltpu.roll(ring_at(Dr_ref, d - k), k, axis=1)
-        pkI = pltpu.roll(pkIs, k, axis=1)
+        p2M = ring_at(Mr_ref, d - 2)
+        p2D = ring_at(Dr_ref, d - 2)
+        p2I = ring_at(Ir_ref, d - 2)
+        pkM = ring_at(Mr_ref, d - k)
+        pkD = ring_at(Dr_ref, d - k)
+        pkI = ring_at(Ir_ref, d - k)
+
+        p2Ms = _shift_right(p2M, 1)
+        p2Ds = _shift_right(p2D, 1)
+        p2Is = _shift_right(p2I, 1)
+        pkMs = _shift_right(pkM, k)
+        pkIs = _shift_right(pkI, k)
 
         # --- recurrence (f32 op order == align_pair.cc:98-124) -------------
-        m2m = ((p2M + ng) + ng) + sub
-        d2m = (p2D + gs) + sub
-        i2m = ((p2I + gs) + ng) + sub
+        m2m = ((p2Ms + ng) + ng) + sub
+        d2m = (p2Ds + gs) + sub
+        i2m = ((p2Is + gs) + ng) + sub
         m2d = ((pkM + ng) + go) + gek1
         i2d = ((pkI + gs) + go) + gek1
         d2d = pkD + gek
@@ -137,7 +139,7 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
         D = jnp.maximum(jnp.maximum(m2d, d2d), i2d)
         I = jnp.maximum(m2i, i2i)
 
-        # --- body/margin select (streamed per diagonal, u-space) ------------
+        # --- body/margin select (streamed per diagonal) ---------------------
         body = body_ref[0, 0] > 0.5  # [C]
         M = jnp.where(body[None, :], M, margM_ref[0, 0][None, :])
         D = jnp.where(body[None, :], D, margD_ref[0, 0][None, :])
@@ -151,18 +153,23 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
 
         # --- backpointers (traceback-form comparisons) ----------------------
         if want_bp:
-            bp_m = _argmax_mdi_i32((p2M + ng) + ng, p2D + gs, (p2I + gs) + ng)
-            bp_d = _argmax_mdi_i32((pkM + ng) + go, pkD + ge, (pkI + gs) + go)
+            bp_m = _argmax_mdi_i32(
+                (p2Ms + ng) + ng, p2Ds + gs, (p2Is + gs) + ng
+            )
+            bp_d = _argmax_mdi_i32(
+                (pkM + ng) + go, pkD + ge, (pkI + gs) + go
+            )
             bp_i = jnp.where(pkMs + go > pkIs + ge, 0, 2)
             bp_ref[0] = (bp_m | (bp_d << 2) | (bp_i << 4)).astype(jnp.uint8)
 
         # --- corner capture -------------------------------------------------
-        u_iota = jax.lax.broadcasted_iota(jnp.int32, (BC, C), 1)
-        sel = (d == cd_ref[...]) & (u_iota == cu_ref[...])
+        j_i = jax.lax.broadcasted_iota(jnp.int32, (BC, C), 1)
+        sel = (d == cd_ref[...]) & (j_i == cj_ref[...])
         cap = cap_ref[...]
-        cap_ref[...] = jnp.stack(
-            [jnp.where(sel, M, cap[0]), jnp.where(sel, D, cap[1]),
-             jnp.where(sel, I, cap[2])], axis=0)
+        cap0 = jnp.where(sel, M, cap[0])
+        cap1 = jnp.where(sel, D, cap[1])
+        cap2 = jnp.where(sel, I, cap[2])
+        cap_ref[...] = jnp.stack([cap0, cap1, cap2], axis=0)
 
         @pl.when(d == Dtot - 1)
         def _fin():
@@ -174,15 +181,14 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
     return kernel
 
 
-def _diag_tables_u(k, NA, C, Dtot, gap_consts):
-    """Per-diagonal body mask and margin values in u-space, [Dtot, C] f32.
+def _diag_tables(k, NA, C, Dtot, gap_consts):
+    """Per-diagonal body mask and margin values, [Dtot, C] f32 each.
 
-    For (d, u): j = (d - u) mod C, i = d - j. Same f32 margin formulas as
-    the XLA kernel (align_pair.cc:84-90)."""
+    Same f32 formulas as the in-kernel versions previously (and as the XLA
+    kernel), computed once per call instead of once per step."""
     ng, gs, go, ge = (gap_consts[i] for i in range(4))
     d = jnp.arange(Dtot, dtype=jnp.int32)[:, None]
-    u = jnp.arange(C, dtype=jnp.int32)[None, :]
-    j = jnp.mod(d - u, C)
+    j = jnp.arange(C, dtype=jnp.int32)[None, :]
     i = d - j
     R = NA + k
     body = ((i >= k) & (i < R) & (j >= k)).astype(jnp.float32)
@@ -197,55 +203,63 @@ def _diag_tables_u(k, NA, C, Dtot, gap_consts):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "bc", "want_bp", "interpret")
+    jax.jit, static_argnames=("k", "bc", "want_bp", "interpret", "code_cols")
 )
 def wavefront_pallas(
     aseq, bseq, lens_a, lens_b, table, gap_consts, *, k: int,
-    bc: int = 32, want_bp: bool = True, interpret: bool = False
+    bc: int = 32, want_bp: bool = True, interpret: bool = False,
+    code_cols: tuple = tuple(range(15)),
 ):
-    """Viterbi wavefront via Pallas (u-space layout). Returns
-    ((cM, cD, cI), bp); bp is None if want_bp=False. bp is u-space indexed:
-    cell (i, j) lives at bp[i+j, p, i mod C]."""
+    """Viterbi wavefront via Pallas. Returns ((cM, cD, cI), bp) like
+    align.wavefront.wavefront(mode='viterbi'); bp is None if want_bp=False.
+
+    code_cols: the nucleotide-code columns actually used by this batch's
+    descendants (e.g. (0,1,2,3) for pure ACGT, (0,1,2,3,14) with N). The
+    emission window and FMA chain shrink accordingly — ambiguity codes are
+    rare in real data and cost 3x when present."""
     B, NA = aseq.shape
     NB = bseq.shape[1]
+    # pad slots to the 128-lane tile
     C = ((NB + k + 127) // 128) * 128
     R = NA + k
     Dtot = R + (NB + k) - 1
     ring = max(k, 2) + 1
     assert B % bc == 0, (B, bc)
+    nc = len(code_cols)
 
-    # G rows: table[a[t]] for t in [0, NA), laid out [NA, B, 15]
-    G = jnp.transpose(jnp.take(table, aseq, axis=0), (1, 0, 2))
+    # G rows: table[a[t]][code_cols] for t in [0, NA), laid out [NA, B, nc]
+    table_sub = table[:, jnp.asarray(code_cols)]
+    G = jnp.transpose(jnp.take(table_sub, aseq, axis=0), (1, 0, 2))
 
-    # descendant codes per slot j (99 = never matches); bwin at d=0 has
-    # column u holding code for j = (0 - u) mod C, i.e. b_slot reversed
-    # about column 0
+    # remap descendant codes into the compact column space
+    lut = np.full(16, 99, np.int32)
+    for idx, col in enumerate(code_cols):
+        lut[col] = idx
+    bseq_m = jnp.asarray(lut)[bseq]
+
     b_slot = jnp.pad(
-        bseq, ((0, 0), (k, C - NB - k)), constant_values=99
-    ).astype(jnp.int32)
-    binit = jnp.concatenate(
-        [b_slot[:, :1], jnp.flip(b_slot[:, 1:], axis=1)], axis=1
-    )
-
+        bseq_m, ((0, 0), (k, C - NB - k)), constant_values=99
+    ).astype(jnp.int32)  # 99 = never matches a code
+    oh_b = jax.nn.one_hot(b_slot, nc, axis=0, dtype=jnp.float32)  # [nc,B,C]
     corner_d = (lens_a + lens_b + jnp.int32(2 * (k - 1)))[:, None]
-    corner_u = jnp.mod(lens_a + jnp.int32(k - 1), C)[:, None]
+    corner_j = (lens_b + jnp.int32(k - 1))[:, None]
     cd = jnp.broadcast_to(corner_d, (B, C)).astype(jnp.int32)
-    cu = jnp.broadcast_to(corner_u, (B, C)).astype(jnp.int32)
+    cj = jnp.broadcast_to(corner_j, (B, C)).astype(jnp.int32)
     gc = gap_consts.reshape(1, 4).astype(jnp.float32)
     body, mM, mD, mI = (
-        x[:, None, :] for x in _diag_tables_u(k, NA, C, Dtot, gap_consts)
+        x[:, None, :] for x in _diag_tables(k, NA, C, Dtot, gap_consts)
     )
 
-    kernel = _make_kernel(k, NA, C, bc, Dtot, ring, want_bp)
+    kernel = _make_kernel(k, NA, C, bc, Dtot, ring, want_bp, nc)
     grid = (B // bc, Dtot)
 
     in_specs = [
         pl.BlockSpec(
-            (1, bc, 15),
+            (1, bc, nc),
             lambda bi, d: (jnp.clip(d - k, 0, NA - 1), bi, 0),
             memory_space=pltpu.VMEM,
         ),
-        pl.BlockSpec((bc, C), lambda bi, d: (bi, 0),
+        pl.BlockSpec((nc, bc, C), lambda bi, d: (0, bi, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((bc, C), lambda bi, d: (bi, 0),
                      memory_space=pltpu.VMEM),
@@ -285,12 +299,11 @@ def wavefront_pallas(
             pltpu.VMEM((ring, bc, C), jnp.float32),
             pltpu.VMEM((ring, bc, C), jnp.float32),
             pltpu.VMEM((ring, bc, C), jnp.float32),
-            pltpu.VMEM((15, bc, C), jnp.float32),
-            pltpu.VMEM((bc, C), jnp.int32),
+            pltpu.VMEM((nc, bc, C), jnp.float32),
             pltpu.VMEM((3, bc, C), jnp.float32),
         ],
         interpret=interpret,
-    )(G, binit, cd, cu, body, mM, mD, mI, gc)
+    )(G, oh_b, cd, cj, body, mM, mD, mI, gc)
 
     if want_bp:
         bp, corner = outs
