@@ -1,10 +1,9 @@
-"""Batch alignment engine: length bucketing, kernel dispatch, host traceback.
+"""Batch alignment engine: length bucketing and fused kernel dispatch.
 
-The TPU kernel (wavefront.py) fills backpointers for whole padded batches;
-the traceback walk is inherently sequential per pair but is vectorized
-ACROSS pairs here (every pair advances one step per iteration), so a 10k-pair
-batch tracebacks in O(max_path_len) numpy steps rather than O(sum of
-path lengths) Python steps.
+Pairs are bucketed by padded shape, each bucket runs as few fused
+(DP fill + on-device traceback) dispatches as possible, and only op
+sequences + scores cross the host link; aligned strings are built by the
+native single-pass builder.
 """
 
 from __future__ import annotations
@@ -77,68 +76,6 @@ def _device_for(cells: int):
         except RuntimeError:
             pass
     return default
-
-
-def traceback_batch(bp, corners, lens_a, lens_b, a_strs, b_strs, k):
-    """Walk packed backpointers for a whole batch at once.
-
-    bp: [Dtot, B, C] uint8 (diagonal-major), corners: (cM, cD, cI) [B] f32
-    (terminal-adjusted). Returns list of AlignResult.
-    """
-    cM, cD, cI = (np.asarray(c) for c in corners)
-    B = len(a_strs)
-    lens_a = np.asarray(lens_a)
-    lens_b = np.asarray(lens_b)
-    i = lens_a + (k - 1)
-    j = lens_b + (k - 1)
-    st = _argmax_mdi_np(cM, cD, cI)
-    score = np.maximum(cM, np.maximum(cD, cI))
-
-    rows = np.arange(B)
-    ops_rev: list[np.ndarray] = []
-    active = (i > k - 1) | (j > k - 1)
-    while active.any():
-        codes = bp[i + j, rows, j]
-        ops_rev.append(np.where(active, st, -1).astype(np.int8))
-        nxt_m = codes & 3
-        nxt_d = (codes >> 2) & 3
-        nxt_i = (codes >> 4) & 3
-        nxt = np.where(st == 0, nxt_m, np.where(st == 1, nxt_d, nxt_i)).astype(np.int8)
-        di = np.where(st == 0, 1, np.where(st == 1, k, 0))
-        dj = np.where(st == 0, 1, np.where(st == 1, 0, k))
-        i = np.where(active, i - di, i)
-        j = np.where(active, j - dj, j)
-        st = np.where(active, nxt, st)
-        active = (i > k - 1) | (j > k - 1)
-
-    if ops_rev:
-        ops = np.stack(ops_rev[::-1], axis=0)  # forward order, [steps, B]
-    else:
-        ops = np.zeros((0, B), dtype=np.int8)
-
-    results = []
-    gaps = "-" * k
-    for p in range(B):
-        a, b = a_strs[p], b_strs[p]
-        s0: list[str] = []
-        s1: list[str] = []
-        ai = bi = 0
-        for op in ops[:, p]:
-            if op == 0:
-                s0.append(a[ai])
-                s1.append(b[bi])
-                ai += 1
-                bi += 1
-            elif op == 1:
-                s0.append(a[ai : ai + k])
-                s1.append(gaps)
-                ai += k
-            elif op == 2:
-                s0.append(gaps)
-                s1.append(b[bi : bi + k])
-                bi += k
-        results.append(AlignResult("".join(s0), "".join(s1), float(score[p])))
-    return results
 
 
 def ops_to_strings(ops_fwd, score, a_strs, b_strs, k):
@@ -220,8 +157,10 @@ def _align_step_jit(aseq, bseq, la, lb, table32, gc, *, k, use_pallas,
     return ops, score
 
 
-def _align_step(aseq, bseq, la, lb, table32, gc, k, dev):
-    """Run one fused chunk; returns (ops [steps,B] backward, score [B])."""
+def _align_step(aseq, bseq, la, lb, table32, gc, k, dev, fetch=True):
+    """Run one fused chunk; returns (ops [steps,B] backward, score [B]).
+
+    fetch=False returns device arrays without blocking (async launch)."""
     B, NA = aseq.shape
     NB = bseq.shape[1]
     C = ((NB + k + 127) // 128) * 128
@@ -249,12 +188,12 @@ def _align_step(aseq, bseq, la, lb, table32, gc, k, dev):
         jnp.asarray(lb), jnp.asarray(table32), jnp.asarray(gc),
         k=k, use_pallas=use_pallas, code_cols=code_cols,
     )
-    ops = np.asarray(jax.device_get(ops))
-    score = np.asarray(jax.device_get(score))
     if pad_b:
         ops = ops[:, :B]
         score = score[:B]
-    return ops, score
+    if not fetch:
+        return ops, score
+    return np.asarray(jax.device_get(ops)), np.asarray(jax.device_get(score))
 
 
 def _pad_batch(enc_as, enc_bs, quantum):
@@ -298,6 +237,9 @@ def viterbi_align_batch(
         buckets[(qa, qb)].append(idx)
 
     results: list[AlignResult | None] = [None] * len(enc_as)
+    # phase 1: launch every chunk asynchronously (jax dispatch is async, so
+    # device work for chunk N overlaps host prep of chunk N+1)
+    inflight = []
     for (qa, qb), idxs in buckets.items():
         cells = (qa + k) * (qb + k)
         max_b = max(1, max_batch_cells // cells)
@@ -314,20 +256,24 @@ def viterbi_align_batch(
             )
             dev = _device_for(len(padded) * cells)
             with jax.default_device(dev):
-                ops, score = _align_step(
-                    aseq, bseq, la, lb, table32, gc, k, dev
+                ops_d, score_d = _align_step(
+                    aseq, bseq, la, lb, table32, gc, k, dev, fetch=False
                 )
-            ops = ops[::-1, :n_real]  # forward order, drop padding
-            score = score[:n_real]
-            out = ops_to_strings(
-                ops,
-                score,
-                [a_strs[i] for i in chunk],
-                [b_strs[i] for i in chunk],
-                k,
-            )
-            for i, r in zip(chunk, out):
-                results[i] = r
+            inflight.append((chunk, n_real, ops_d, score_d))
+
+    # phase 2: fetch + build strings in launch order
+    for chunk, n_real, ops_d, score_d in inflight:
+        ops = np.asarray(jax.device_get(ops_d))[::-1, :n_real]
+        score = np.asarray(jax.device_get(score_d))[:n_real]
+        out = ops_to_strings(
+            ops,
+            score,
+            [a_strs[i] for i in chunk],
+            [b_strs[i] for i in chunk],
+            k,
+        )
+        for i, r in zip(chunk, out):
+            results[i] = r
     return results  # type: ignore[return-value]
 
 

@@ -254,8 +254,15 @@ def traceback_ops_impl(bp, corners, lens_a, lens_b, *, k: int,
     j0 = lens_b + jnp.int32(k - 1)
     rows = jnp.arange(B, dtype=jnp.int32)
 
-    def step(carry, _):
-        i, j, st = carry
+    ops0 = jnp.full((max_steps, B), -1, dtype=jnp.int8)
+
+    def cond(carry):
+        i, j, st, s, ops = carry
+        return ((s < max_steps)
+                & jnp.any((i > k - 1) | (j > k - 1)))
+
+    def body(carry):
+        i, j, st, s, ops = carry
         active = (i > k - 1) | (j > k - 1)
         col = jax.lax.rem(i, C) if u_space else j
         code = bp[i + j, rows, col].astype(jnp.int32)
@@ -266,12 +273,16 @@ def traceback_ops_impl(bp, corners, lens_a, lens_b, *, k: int,
         di = jnp.where(st == 0, 1, jnp.where(st == 1, k, 0))
         dj = jnp.where(st == 0, 1, jnp.where(st == 1, 0, k))
         op = jnp.where(active, st, -1).astype(jnp.int8)
+        ops = jax.lax.dynamic_update_slice(ops, op[None, :], (s, 0))
         i = jnp.where(active, i - di, i)
         j = jnp.where(active, j - dj, j)
         st = jnp.where(active, nxt, st)
-        return (i, j, st), op
+        return (i, j, st, s + 1, ops)
 
-    (_, _, _), ops = jax.lax.scan(step, (i0, j0, st0), None, length=max_steps)
+    # while_loop instead of a fixed scan: every pair's walk finishes in
+    # ~path-length steps (roughly max(n, m) + gaps), about half of the
+    # worst-case n + m the scan would always run
+    *_, ops = jax.lax.while_loop(cond, body, (i0, j0, st0, 0, ops0))
     return ops, (st0, score)
 
 

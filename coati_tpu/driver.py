@@ -22,17 +22,11 @@ def _viterbi_align(aln: AlignmentParams):
     """Viterbi-align aln.data.seqs[0/1] in place (engine dispatch)."""
     anc, des = aln.seq(0), aln.seq(1)
     enc_a, enc_b = utils.encode_marginal(anc, des)
-    try:
-        from coati_tpu.align.engine import viterbi_align_single
+    from coati_tpu.align.engine import viterbi_align_single
 
-        s0, s1, score = viterbi_align_single(
-            enc_a, enc_b, anc, des, aln.subst_matrix, aln.gap
-        )
-    except ImportError:  # pragma: no cover - jax always present in this env
-        work = oracle.forward_oracle(
-            enc_a, enc_b, aln.subst_matrix, aln.gap, "tropical"
-        )
-        s0, s1, score = oracle.traceback(work, anc, des, aln.gap)
+    s0, s1, score = viterbi_align_single(
+        enc_a, enc_b, anc, des, aln.subst_matrix, aln.gap
+    )
     aln.data.seqs = [s0, s1]
     aln.data.score = score
 
