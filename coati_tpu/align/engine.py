@@ -306,18 +306,46 @@ def viterbi_scores_batch(
                 [enc_as[i] for i in chunk], [enc_bs[i] for i in chunk], quantum
             )
             dev = _device_for(len(chunk) * cells)
+            C = ((bseq.shape[1] + k + 127) // 128) * 128
+            use_pallas = (
+                getattr(dev, "platform", "cpu") != "cpu" and C <= PALLAS_MAX_C
+            )
             with jax.default_device(dev):
-                (cm, cd, ci), _ = wavefront(
-                    jnp.asarray(aseq),
-                    jnp.asarray(bseq),
-                    jnp.asarray(la),
-                    jnp.asarray(lb),
-                    jnp.asarray(table32),
-                    jnp.asarray(gc),
-                    k=k,
-                    semiring="tropical",
-                    mode="score",
-                )
+                if use_pallas:
+                    from coati_tpu.kernels.wavefront_pallas import (
+                        wavefront_pallas,
+                    )
+
+                    pad_b = (-len(chunk)) % PALLAS_BC
+                    if pad_b:
+                        aseq = np.concatenate(
+                            [aseq, np.zeros((pad_b, aseq.shape[1]), np.int32)]
+                        )
+                        bseq = np.concatenate(
+                            [bseq, np.zeros((pad_b, bseq.shape[1]), np.int32)]
+                        )
+                        la = np.concatenate([la, np.full(pad_b, 3 * k, np.int32)])
+                        lb = np.concatenate([lb, np.full(pad_b, k, np.int32)])
+                    (cm, cd, ci), _ = wavefront_pallas(
+                        jnp.asarray(aseq), jnp.asarray(bseq), jnp.asarray(la),
+                        jnp.asarray(lb), jnp.asarray(table32), jnp.asarray(gc),
+                        k=k, bc=PALLAS_BC, want_bp=False,
+                    )
+                    cm = cm[: len(chunk)]
+                    cd = cd[: len(chunk)]
+                    ci = ci[: len(chunk)]
+                else:
+                    (cm, cd, ci), _ = wavefront(
+                        jnp.asarray(aseq),
+                        jnp.asarray(bseq),
+                        jnp.asarray(la),
+                        jnp.asarray(lb),
+                        jnp.asarray(table32),
+                        jnp.asarray(gc),
+                        k=k,
+                        semiring="tropical",
+                        mode="score",
+                    )
             sc = np.maximum(np.asarray(cm), np.maximum(np.asarray(cd), np.asarray(ci)))
             scores[chunk] = sc
     return scores
