@@ -52,3 +52,22 @@ def test_graft_entry_and_dryrun():
     assert np.all(np.isfinite(np.asarray(score)))
     if len(jax.devices()) >= 8:
         ge.dryrun_multichip(8)
+
+
+def test_host_shard_partition():
+    from coati_tpu.parallel.multihost import host_shard
+
+    items = list(range(10))
+    shards = [host_shard(items, pi, 3) for pi in range(3)]
+    assert sum(shards, []) == items
+    assert all(len(s) <= 4 for s in shards)
+
+
+def test_global_scores_allgather(mesh8):
+    import numpy as np
+
+    from coati_tpu.parallel.multihost import global_scores_allgather
+
+    scores = np.arange(16, dtype=np.float32)
+    out = global_scores_allgather(scores, mesh8)
+    np.testing.assert_array_equal(out, scores)
