@@ -117,10 +117,11 @@ def main() -> int:
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
 
-    # coarse quantum -> one bucket shape per length class -> ~10 fused
-    # dispatches for the whole batch (the host<->device link is high-latency)
-    quantum = 384
-    max_cells = 1 << 30
+    # quantum 96: one bucket shape per length class with tight padding
+    # (measured best on v5e vs 64/384); 2^30-cell chunks balance dispatch
+    # count against host-link latency
+    quantum = int(os.environ.get("BENCH_QUANTUM", "96"))
+    max_cells = 1 << int(os.environ.get("BENCH_MAXCELLS_LOG2", "30"))
 
     # warmup (compile every bucket shape once)
     t0 = time.time()

@@ -121,7 +121,9 @@ def ops_to_strings(ops_fwd, score, a_strs, b_strs, k):
     return results
 
 
-PALLAS_BC = 32
+import os as _os
+
+PALLAS_BC = int(_os.environ.get("COATI_TPU_PALLAS_BC", "32"))
 # scratch budget: (3*ring + 15 + 3) * bc * C * 4 bytes must fit VMEM
 PALLAS_MAX_C = 2816
 

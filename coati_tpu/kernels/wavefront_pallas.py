@@ -126,13 +126,20 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
         pkIs = _shift_right(pkI, k)
 
         # --- recurrence (f32 op order == align_pair.cc:98-124) -------------
-        m2m = ((p2Ms + ng) + ng) + sub
-        d2m = (p2Ds + gs) + sub
-        i2m = ((p2Is + gs) + ng) + sub
-        m2d = ((pkM + ng) + go) + gek1
-        i2d = ((pkI + gs) + go) + gek1
+        # shared pre-emission sums double as backpointer comparands below
+        tmm = (p2Ms + ng) + ng
+        tdm = p2Ds + gs
+        tim = (p2Is + gs) + ng
+        tmd = (pkM + ng) + go
+        tid = (pkI + gs) + go
+        tmi = pkMs + go
+        m2m = tmm + sub
+        d2m = tdm + sub
+        i2m = tim + sub
+        m2d = tmd + gek1
+        i2d = tid + gek1
         d2d = pkD + gek
-        m2i = (pkMs + go) + gek1
+        m2i = tmi + gek1
         i2i = pkIs + gek
 
         M = jnp.maximum(jnp.maximum(m2m, d2m), i2m)
@@ -153,13 +160,9 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
 
         # --- backpointers (traceback-form comparisons) ----------------------
         if want_bp:
-            bp_m = _argmax_mdi_i32(
-                (p2Ms + ng) + ng, p2Ds + gs, (p2Is + gs) + ng
-            )
-            bp_d = _argmax_mdi_i32(
-                (pkM + ng) + go, pkD + ge, (pkI + gs) + go
-            )
-            bp_i = jnp.where(pkMs + go > pkIs + ge, 0, 2)
+            bp_m = _argmax_mdi_i32(tmm, tdm, tim)
+            bp_d = _argmax_mdi_i32(tmd, pkD + ge, tid)
+            bp_i = jnp.where(tmi > pkIs + ge, 0, 2)
             bp_ref[0] = (bp_m | (bp_d << 2) | (bp_i << 4)).astype(jnp.uint8)
 
         # --- corner capture -------------------------------------------------
