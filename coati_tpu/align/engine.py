@@ -128,11 +128,26 @@ PALLAS_BC = int(_os.environ.get("COATI_TPU_PALLAS_BC", "32"))
 PALLAS_MAX_C = 2816
 
 
+def _pallas_bc_for(C: int, want_bp: bool) -> int | None:
+    """Chunk width (batch rows per kernel instance) for slot count C.
+
+    Wide chunks amortize per-step grid overhead; long sequences need
+    narrow chunks to bound VMEM scratch (~21 planes x bc x C x 4 B) and,
+    with backpointers, the [Dtot, B, C] uint8 HBM stream (~2*C*bc*C B per
+    chunk). Returns None when the pair is too long for the kernel and the
+    XLA scan fallback must be used."""
+    if C <= PALLAS_MAX_C:
+        return PALLAS_BC
+    if C <= (11264 if want_bp else 22528):
+        return 8
+    return None
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "use_pallas", "code_cols")
+    jax.jit, static_argnames=("k", "use_pallas", "code_cols", "bc")
 )
 def _align_step_jit(aseq, bseq, la, lb, table32, gc, *, k, use_pallas,
-                    code_cols=tuple(range(15))):
+                    code_cols=tuple(range(15)), bc=PALLAS_BC):
     """Fused DP fill + on-device traceback in ONE dispatch.
 
     A single executable per chunk matters when the host<->device link has
@@ -147,7 +162,7 @@ def _align_step_jit(aseq, bseq, la, lb, table32, gc, *, k, use_pallas,
         from coati_tpu.kernels.wavefront_pallas import wavefront_pallas
 
         corners, bp = wavefront_pallas(
-            aseq, bseq, la, lb, table32, gc, k=k, bc=PALLAS_BC,
+            aseq, bseq, la, lb, table32, gc, k=k, bc=bc,
             code_cols=code_cols,
         )
     else:
@@ -166,11 +181,11 @@ def _align_step(aseq, bseq, la, lb, table32, gc, k, dev, fetch=True):
     B, NA = aseq.shape
     NB = bseq.shape[1]
     C = ((NB + k + 127) // 128) * 128
+    bc = _pallas_bc_for(C, want_bp=True)
     use_pallas = (
-        getattr(dev, "platform", "cpu") not in ("cpu",)
-        and C <= PALLAS_MAX_C
+        getattr(dev, "platform", "cpu") not in ("cpu",) and bc is not None
     )
-    pad_b = (-B) % PALLAS_BC if use_pallas else 0
+    pad_b = (-B) % bc if use_pallas else 0
     if pad_b:
         aseq = np.concatenate([aseq, np.zeros((pad_b, NA), np.int32)])
         bseq = np.concatenate([bseq, np.zeros((pad_b, NB), np.int32)])
@@ -189,6 +204,7 @@ def _align_step(aseq, bseq, la, lb, table32, gc, k, dev, fetch=True):
         jnp.asarray(aseq), jnp.asarray(bseq), jnp.asarray(la),
         jnp.asarray(lb), jnp.asarray(table32), jnp.asarray(gc),
         k=k, use_pallas=use_pallas, code_cols=code_cols,
+        bc=bc if use_pallas else PALLAS_BC,
     )
     if pad_b:
         ops = ops[:, :B]
@@ -309,8 +325,9 @@ def viterbi_scores_batch(
             )
             dev = _device_for(len(chunk) * cells)
             C = ((bseq.shape[1] + k + 127) // 128) * 128
+            bc = _pallas_bc_for(C, want_bp=False)
             use_pallas = (
-                getattr(dev, "platform", "cpu") != "cpu" and C <= PALLAS_MAX_C
+                getattr(dev, "platform", "cpu") != "cpu" and bc is not None
             )
             with jax.default_device(dev):
                 if use_pallas:
@@ -318,7 +335,7 @@ def viterbi_scores_batch(
                         wavefront_pallas,
                     )
 
-                    pad_b = (-len(chunk)) % PALLAS_BC
+                    pad_b = (-len(chunk)) % bc
                     if pad_b:
                         aseq = np.concatenate(
                             [aseq, np.zeros((pad_b, aseq.shape[1]), np.int32)]
@@ -331,7 +348,7 @@ def viterbi_scores_batch(
                     (cm, cd, ci), _ = wavefront_pallas(
                         jnp.asarray(aseq), jnp.asarray(bseq), jnp.asarray(la),
                         jnp.asarray(lb), jnp.asarray(table32), jnp.asarray(gc),
-                        k=k, bc=PALLAS_BC, want_bp=False,
+                        k=k, bc=bc, want_bp=False,
                     )
                     cm = cm[: len(chunk)]
                     cd = cd[: len(chunk)]
