@@ -111,3 +111,41 @@ def test_pallas_traceback_roundtrip(mg94_table):
     for a, b in zip(rx, rp):
         assert (a.seq0, a.seq1) == (b.seq0, b.seq1)
         assert a.score == pytest.approx(b.score, abs=1e-4)
+
+
+@pytest.mark.parametrize("bc,want_bp", [(8, True), (8, False)])
+def test_pallas_narrow_chunk(mg94_table, bc, want_bp):
+    """bc=8 (long-sequence chunk width, engine._pallas_bc_for) matches the
+    XLA kernel exactly like bc=32 does."""
+    rng = np.random.default_rng(91)
+    B, NA, NB, k = 8, 60, 57, 1
+    gap = GapParams(len=k)
+    gc = gap_consts_array(gap)
+    aseq = rng.integers(0, 183, (B, NA)).astype(np.int32)
+    bseq = rng.integers(0, 4, (B, NB)).astype(np.int32)
+    la = np.full(B, NA, np.int32)
+    lb = np.full(B, NB, np.int32)
+    args = [jnp.asarray(x) for x in (aseq, bseq, la, lb, mg94_table, gc)]
+
+    (cm1, cd1, ci1), _ = wavefront(
+        *args, k=k, semiring="tropical", mode="viterbi"
+    )
+    (cm2, cd2, ci2), bp = wavefront_pallas(
+        *args, k=k, bc=bc, want_bp=want_bp, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(cm1), np.asarray(cm2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cd1), np.asarray(cd2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ci1), np.asarray(ci2), atol=1e-4)
+    assert (bp is None) == (not want_bp)
+
+
+def test_pallas_bc_for_thresholds():
+    from coati_tpu.align.engine import PALLAS_BC, _pallas_bc_for
+
+    assert _pallas_bc_for(128, want_bp=True) == PALLAS_BC
+    assert _pallas_bc_for(2816, want_bp=True) == PALLAS_BC
+    assert _pallas_bc_for(4096, want_bp=True) == 8
+    assert _pallas_bc_for(11264, want_bp=True) == 8
+    assert _pallas_bc_for(12000, want_bp=True) is None
+    assert _pallas_bc_for(12000, want_bp=False) == 8
+    assert _pallas_bc_for(32768, want_bp=False) is None
