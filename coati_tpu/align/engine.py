@@ -239,8 +239,8 @@ def viterbi_align_batch(
     b_strs,
     table,
     gap,
-    quantum: int = 64,
-    max_batch_cells: int = 1 << 28,
+    quantum: int = 96,
+    max_batch_cells: int = 1 << 30,
 ) -> list[AlignResult]:
     """Align many pairs: bucket by padded shape, run the wavefront kernel per
     bucket, traceback on host. Results keep input order."""
@@ -301,7 +301,7 @@ def viterbi_align_single(enc_a, enc_b, a_str, b_str, table, gap) -> tuple:
 
 
 def viterbi_scores_batch(
-    enc_as, enc_bs, table, gap, quantum: int = 64, max_batch_cells: int = 1 << 28
+    enc_as, enc_bs, table, gap, quantum: int = 96, max_batch_cells: int = 1 << 30
 ) -> np.ndarray:
     """Score-only Viterbi (no traceback storage) — O(diagonal) memory."""
     k = int(gap.len)
