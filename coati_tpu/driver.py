@@ -67,21 +67,32 @@ def _forward_mdi(enc_a, enc_b, aln):
     k = aln.gap.len
     na, nb = len(enc_a), len(enc_b)
     dev = _device_for((na + k) * (nb + k))
+    C128 = ((nb + k + 127) // 128) * 128
+    args = (
+        jnp.asarray(np.asarray(enc_a)[None, :]),
+        jnp.asarray(np.asarray(enc_b)[None, :]),
+        jnp.asarray([na], dtype=jnp.int32),
+        jnp.asarray([nb], dtype=jnp.int32),
+        jnp.asarray(np.asarray(aln.subst_matrix, dtype=np.float32)),
+        jnp.asarray(gap_consts_array(aln.gap)),
+    )
     with jax.default_device(dev):
-        (cm, cd, ci), (Ms, Ds, Is) = wavefront(
-            jnp.asarray(np.asarray(enc_a)[None, :]),
-            jnp.asarray(np.asarray(enc_b)[None, :]),
-            jnp.asarray([na], dtype=jnp.int32),
-            jnp.asarray([nb], dtype=jnp.int32),
-            jnp.asarray(np.asarray(aln.subst_matrix, dtype=np.float32)),
-            jnp.asarray(gap_consts_array(aln.gap)),
-            k=k,
-            semiring="log",
-            mode="forward",
-        )
-    Ms = np.asarray(jax.device_get(Ms))[:, 0, :]  # [Dtot, C]
-    Ds = np.asarray(jax.device_get(Ds))[:, 0, :]
-    Is = np.asarray(jax.device_get(Is))[:, 0, :]
+        if getattr(dev, "platform", "cpu") != "cpu" and C128 <= 11264:
+            # VMEM-resident kernel: B=1 would pay a ~3 ms/step dispatch tax
+            # in the scan fallback (~60 s for a 10k-nt pair)
+            from coati_tpu.kernels.wavefront_pallas import wavefront_pallas
+
+            (cm, cd, ci), (Ms, Ds, Is) = wavefront_pallas(
+                *args, k=k, bc=1, mode="forward"
+            )
+        else:
+            (cm, cd, ci), (Ms, Ds, Is) = wavefront(
+                *args, k=k, semiring="log", mode="forward"
+            )
+    Cc_full = nb + k
+    Ms = np.asarray(jax.device_get(Ms))[:, 0, :Cc_full]  # [Dtot, C]
+    Ds = np.asarray(jax.device_get(Ds))[:, 0, :Cc_full]
+    Is = np.asarray(jax.device_get(Is))[:, 0, :Cc_full]
     R, Cc = na + k, nb + k
     ii = np.arange(R)[:, None]
     jj = np.arange(Cc)[None, :]

@@ -53,8 +53,21 @@ def _argmax_mdi_i32(m, d, i):
     return jnp.where(i > best, 2, code)
 
 
+def _lse(a, b):
+    """f32 logSumExp mirroring the reference's piecewise log1p_exp
+    (utils.hpp:134-156); identical to align.wavefront._lse."""
+    mx = jnp.maximum(a, b)
+    y = -jnp.abs(a - b)
+    t = jnp.where(
+        y <= jnp.float32(-16.0),
+        jnp.exp(y),
+        jnp.log1p(jnp.exp(jnp.minimum(y, jnp.float32(0.0)))),
+    )
+    return mx + t
+
+
 def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
-                 want_bp: bool, nc: int):
+                 want_bp: bool, nc: int, mode: str = "viterbi"):
     def kernel(
         grow_ref,  # [1, BC, nc] table row for a[d-k] (auto-pipelined)
         ohb_ref,  # [nc, BC, C] f32 one-hot of descendant codes (resident)
@@ -67,11 +80,15 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
         gc_ref,  # [1, 4] f32 gap constants in SMEM
         *refs,
     ):
-        if want_bp:
+        Mout_ref = Dout_ref = Iout_ref = bp_ref = None
+        if mode == "forward":
+            (Mout_ref, Dout_ref, Iout_ref, corner_ref,
+             Mr_ref, Dr_ref, Ir_ref, gwin_ref, cap_ref) = refs
+        elif want_bp:
             bp_ref, corner_ref, Mr_ref, Dr_ref, Ir_ref, gwin_ref, cap_ref = refs
         else:
             corner_ref, Mr_ref, Dr_ref, Ir_ref, gwin_ref, cap_ref = refs
-            bp_ref = None
+        plus2 = _lse if mode == "forward" else jnp.maximum
         d = pl.program_id(1)
         ng = gc_ref[0, 0]
         gs = gc_ref[0, 1]
@@ -142,9 +159,9 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
         m2i = tmi + gek1
         i2i = pkIs + gek
 
-        M = jnp.maximum(jnp.maximum(m2m, d2m), i2m)
-        D = jnp.maximum(jnp.maximum(m2d, d2d), i2d)
-        I = jnp.maximum(m2i, i2i)
+        M = plus2(plus2(m2m, d2m), i2m)
+        D = plus2(plus2(m2d, d2d), i2d)
+        I = plus2(m2i, i2i)
 
         # --- body/margin select (streamed per diagonal) ---------------------
         body = body_ref[0, 0] > 0.5  # [C]
@@ -157,6 +174,12 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
         Mr_ref[pl.ds(slot, 1)] = M[None]
         Dr_ref[pl.ds(slot, 1)] = D[None]
         Ir_ref[pl.ds(slot, 1)] = I[None]
+
+        # --- forward: stream the full diagonals out --------------------------
+        if mode == "forward":
+            Mout_ref[0] = M
+            Dout_ref[0] = D
+            Iout_ref[0] = I
 
         # --- backpointers (traceback-form comparisons) ----------------------
         if want_bp:
@@ -206,15 +229,19 @@ def _diag_tables(k, NA, C, Dtot, gap_consts):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "bc", "want_bp", "interpret", "code_cols")
+    jax.jit,
+    static_argnames=("k", "bc", "want_bp", "interpret", "code_cols", "mode"),
 )
 def wavefront_pallas(
     aseq, bseq, lens_a, lens_b, table, gap_consts, *, k: int,
     bc: int = 32, want_bp: bool = True, interpret: bool = False,
-    code_cols: tuple = tuple(range(15)),
+    code_cols: tuple = tuple(range(15)), mode: str = "viterbi",
 ):
-    """Viterbi wavefront via Pallas. Returns ((cM, cD, cI), bp) like
-    align.wavefront.wavefront(mode='viterbi'); bp is None if want_bp=False.
+    """Viterbi/Forward wavefront via Pallas. mode='viterbi' returns
+    ((cM, cD, cI), bp) like align.wavefront.wavefront(mode='viterbi'); bp is
+    None if want_bp=False. mode='forward' (log semiring) returns
+    ((cM, cD, cI), (Ms, Ds, Is)) with the full [Dtot, B, C] state diagonals
+    in slot-j layout, exactly like the XLA kernel's forward mode.
 
     code_cols: the nucleotide-code columns actually used by this batch's
     descendants (e.g. (0,1,2,3) for pure ACGT, (0,1,2,3,14) with N). The
@@ -253,7 +280,9 @@ def wavefront_pallas(
         x[:, None, :] for x in _diag_tables(k, NA, C, Dtot, gap_consts)
     )
 
-    kernel = _make_kernel(k, NA, C, bc, Dtot, ring, want_bp, nc)
+    if mode == "forward":
+        want_bp = False
+    kernel = _make_kernel(k, NA, C, bc, Dtot, ring, want_bp, nc, mode)
     grid = (B // bc, Dtot)
 
     in_specs = [
@@ -280,6 +309,13 @@ def wavefront_pallas(
     ]
     out_specs = []
     out_shape = []
+    if mode == "forward":
+        for _ in range(3):
+            out_specs.append(
+                pl.BlockSpec((1, bc, C), lambda bi, d: (d, bi, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            out_shape.append(jax.ShapeDtypeStruct((Dtot, B, C), jnp.float32))
     if want_bp:
         out_specs.append(
             pl.BlockSpec((1, bc, C), lambda bi, d: (d, bi, 0),
@@ -308,14 +344,18 @@ def wavefront_pallas(
         interpret=interpret,
     )(G, oh_b, cd, cj, body, mM, mD, mI, gc)
 
-    if want_bp:
+    aux = None
+    if mode == "forward":
+        Ms, Ds, Is, corner = outs
+        aux = (Ms, Ds, Is)
+    elif want_bp:
         bp, corner = outs
+        aux = bp
     else:
         (corner,) = outs
-        bp = None
 
     ng, gs = gap_consts[0], gap_consts[1]
     cM = (corner[0, :, 0] + ng) + ng
     cD = corner[1, :, 0] + gs
     cI = (corner[2, :, 0] + gs) + ng
-    return (cM, cD, cI), bp
+    return (cM, cD, cI), aux

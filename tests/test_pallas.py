@@ -149,3 +149,35 @@ def test_pallas_bc_for_thresholds():
     assert _pallas_bc_for(12000, want_bp=True) is None
     assert _pallas_bc_for(12000, want_bp=False) == 8
     assert _pallas_bc_for(32768, want_bp=False) is None
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_pallas_forward_matches_xla(mg94_table, k):
+    """Forward (log semiring) mode: corners and every valid-region state
+    value match the XLA kernel."""
+    rng = np.random.default_rng(5 + k)
+    B, NA, NB = 8, 24, 21
+    gap = GapParams(len=k)
+    gc = gap_consts_array(gap)
+    aseq = rng.integers(0, 183, (B, NA)).astype(np.int32)
+    bseq = rng.integers(0, 15, (B, NB)).astype(np.int32)
+    la = np.full(B, NA, np.int32)
+    lb = np.full(B, NB, np.int32)
+    args = [jnp.asarray(x) for x in (aseq, bseq, la, lb, mg94_table, gc)]
+
+    (cm1, cd1, ci1), (M1, D1, I1) = wavefront(
+        *args, k=k, semiring="log", mode="forward"
+    )
+    (cm2, cd2, ci2), (M2, D2, I2) = wavefront_pallas(
+        *args, k=k, bc=8, mode="forward", interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(cm1), np.asarray(cm2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cd1), np.asarray(cd2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ci1), np.asarray(ci2), atol=1e-4)
+    # compare full diagonals over the valid slot range (XLA C = NB+k;
+    # pallas pads slots to 128)
+    C1 = NB + k
+    for x1, x2 in ((M1, M2), (D1, D2), (I1, I2)):
+        x1 = np.asarray(x1)
+        x2 = np.asarray(x2)[: x1.shape[0], :, :C1]
+        np.testing.assert_allclose(x1, x2, atol=1e-4)
