@@ -53,10 +53,14 @@ def batch_align(
     out_stream,
     manifest: str = "",
     chunk: int = 2048,
+    meter=None,
 ) -> int:
     """Align `pairs` [(name_a, seq_a, name_b, seq_b), ...] under the marginal
     model in aln; write one JSON line per pair to out_stream; record
-    completed indices in `manifest` for resume. Returns pairs aligned."""
+    completed indices in `manifest` for resume. Returns pairs aligned.
+
+    meter: optional profiling.ThroughputMeter accumulating cells/pairs/sec
+    across kernel calls."""
     from coati_tpu.align.engine import viterbi_align_batch
 
     utils.set_subst(aln)
@@ -92,9 +96,17 @@ def batch_align(
 
             if not keep:
                 continue
-            results = viterbi_align_batch(
-                enc_as, enc_bs, astrs, bstrs, aln.subst_matrix, aln.gap
-            )
+            if meter is not None:
+                cells = sum(len(a) * len(b) for a, b in zip(enc_as, enc_bs))
+                with meter.measure(cells, len(keep)):
+                    results = viterbi_align_batch(
+                        enc_as, enc_bs, astrs, bstrs, aln.subst_matrix,
+                        aln.gap,
+                    )
+            else:
+                results = viterbi_align_batch(
+                    enc_as, enc_bs, astrs, bstrs, aln.subst_matrix, aln.gap
+                )
             for i, r, st in zip(keep, results, stops):
                 from coati_tpu.structs import SeqData
 
@@ -137,6 +149,8 @@ def cmd_batch(argv) -> int:
     p.add_argument("-e", "--gap-extend", type=float, default=1 - 1 / 6)
     p.add_argument("-k", "--gap-len", type=int, default=1)
     p.add_argument("-w", "--omega", type=float, default=0.2)
+    p.add_argument("--trace-dir", default="",
+                   help="Capture a jax.profiler trace into this directory")
     args = p.parse_args(argv)
 
     aln = AlignmentParams()
@@ -147,13 +161,22 @@ def cmd_batch(argv) -> int:
     aln.gap.len = args.gap_len
     aln.omega = args.omega
 
+    from coati_tpu.profiling import ThroughputMeter, trace
+
     pairs = read_pairs_fasta(args.input)
     out = open(args.output, "w" if not args.manifest else "a") \
         if args.output else sys.stdout
+    meter = ThroughputMeter()
     try:
-        n = batch_align(aln, pairs, out, manifest=args.manifest)
+        with trace(args.trace_dir or None):
+            n = batch_align(aln, pairs, out, manifest=args.manifest,
+                            meter=meter)
     finally:
         if args.output:
             out.close()
-    print(f"aligned {n} pairs", file=sys.stderr)
+    stats = meter.summary()
+    print(f"aligned {n} pairs: {stats['cells_per_sec'] / 1e6:.0f} Mcells/s, "
+          f"{stats['pairs_per_sec']:.1f} pairs/s "
+          f"({stats['seconds']:.1f}s kernel time)", file=sys.stderr)
+    print(json.dumps({"metrics": stats}), file=sys.stderr)
     return 0

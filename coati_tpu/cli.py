@@ -17,19 +17,27 @@ from coati_tpu.structs import AlignmentParams
 PROG = "coati-tpu"
 
 
+def _positive_float(s: str) -> float:
+    """CLI11 PositiveNumber check parity (utils.cc:107-131): value > 0."""
+    v = float(s)
+    if not v > 0:
+        raise argparse.ArgumentTypeError(f"{s} is not a positive number")
+    return v
+
+
 def _add_model_opts(p, models_help, sample=False):
     p.add_argument("input", help="Input file (FASTA/PHYLIP/JSON accepted)")
     p.add_argument("-m", "--model", default="mar-mg", help=models_help)
     p.add_argument("--sub", default="", dest="rate",
                    help="File with branch lengths and codon subst matrix")
-    p.add_argument("-t", "--time", type=float, default=0.0133, dest="br_len",
-                   help="Evolutionary time/branch length")
+    p.add_argument("-t", "--time", type=_positive_float, default=0.0133,
+                   dest="br_len", help="Evolutionary time/branch length")
     p.add_argument("-o", "--output", default="", help="Alignment output file")
-    p.add_argument("-g", "--gap-open", type=float, default=0.001,
+    p.add_argument("-g", "--gap-open", type=_positive_float, default=0.001,
                    help="Gap opening score")
-    p.add_argument("-e", "--gap-extend", type=float, default=1.0 - 1.0 / 6.0,
-                   help="Gap extension score")
-    p.add_argument("-w", "--omega", type=float, default=0.2,
+    p.add_argument("-e", "--gap-extend", type=_positive_float,
+                   default=1.0 - 1.0 / 6.0, help="Gap extension score")
+    p.add_argument("-w", "--omega", type=_positive_float, default=0.2,
                    help="Nonsynonymous-synonymous bias")
     p.add_argument("-p", "--pi", type=float, nargs=4,
                    default=[0.308, 0.185, 0.199, 0.308],
@@ -77,7 +85,7 @@ def cmd_alignpair(argv) -> int:
                    help="Use 2nd seq as reference")
     p.add_argument("-s", "--score", action="store_true",
                    help="Score input alignment and exit")
-    p.add_argument("-b", "--base-error", type=float, default=0.0001,
+    p.add_argument("-b", "--base-error", type=_positive_float, default=0.0001,
                    help="Base calling error rate")
     args = p.parse_args(argv)
     if args.rate and args.model != "mar-mg":
@@ -94,9 +102,9 @@ def cmd_alignpair(argv) -> int:
         from coati_tpu.driver import marg_alignment
 
         return 0 if marg_alignment(aln) else 1
-    from coati_tpu.triplet import triplet_alignment
+    from coati_tpu.triplet_hmm import triplet_align_driver
 
-    return 0 if triplet_alignment(aln) else 1
+    return 0 if triplet_align_driver(aln) else 1
 
 
 def cmd_sample(argv) -> int:
@@ -109,6 +117,8 @@ def cmd_sample(argv) -> int:
     p.add_argument("-s", "--seed", nargs="+", default=[],
                    help="Space separated list of seed(s) used for sampling")
     args = p.parse_args(argv)
+    if args.rate and args.model != "mar-mg":
+        p.error("--sub excludes --model")
 
     aln = _fill_aln(args)
     if not aln.is_marginal():
@@ -162,7 +172,7 @@ def cmd_format(argv) -> int:
     p.add_argument("-o", "--output", default="", help="Alignment output file")
     p.add_argument("-p", "--preserve-phase", action="store_true",
                    help="Preserve phase")
-    p.add_argument("-c", "--padding", default="?",
+    p.add_argument("-c", "--padding", default=None,
                    help="Padding char to format preserve phase")
     p.add_argument("-s", "--cut-seqs", nargs="+", default=[],
                    help="Name of sequences to extract")
@@ -171,6 +181,9 @@ def cmd_format(argv) -> int:
     args = p.parse_args(argv)
     if args.cut_seqs and args.cut_pos:
         p.error("-x excludes -s")
+    if args.padding is not None and not args.preserve_phase:
+        # CLI11: padding option ->needs(phase) (utils.cc:443-445)
+        p.error("-c/--padding needs -p/--preserve-phase")
 
     from coati_tpu.format import FormatArgs, format_sequences
     from coati_tpu.io import read_input
@@ -181,7 +194,7 @@ def cmd_format(argv) -> int:
     aln.data = read_input(aln)
     fmt = FormatArgs(
         preserve_phase=args.preserve_phase,
-        padding=args.padding,
+        padding=args.padding if args.padding is not None else "?",
         names=list(args.cut_seqs),
         pos=list(args.cut_pos),
     )
@@ -284,8 +297,16 @@ def main(argv=None) -> int:
     if verb not in VERBS:
         print(f"ERROR: command {verb} not supported.", file=sys.stderr)
         return 1
+    # runtime header/library version cross-check (reference verb.hpp:44-49)
+    from coati_tpu.version import check_version_number
+
+    rc = check_version_number()
+    if rc != 0:
+        return rc
     try:
         return VERBS[verb](argv[1:])
+    except SystemExit as exc:  # argparse validation errors (exit code 2)
+        return int(exc.code) if exc.code else 0
     except (ValueError, RuntimeError, OSError) as exc:
         print(f"ERROR: {exc}", file=sys.stderr)
         return 1

@@ -60,18 +60,25 @@ def align_leafs(inp: AlignmentParams, tree, ref_pos, ref_seq, nodes_ins):
 def merge_alignments(visited, tree, nodes_ins, inode_indexes):
     """Merge children bottom-up until the root (align_msa.cc:336-374)."""
     while not all(visited):
+        progressed = False
         for inode in inode_indexes:
             if visited[inode]:
                 continue
             if any(not visited[c] for c in tree[inode].children):
                 continue
             visited[inode] = True
+            progressed = True
             children = tree[inode].children
             if len(children) == 1:
                 nodes_ins[inode] = nodes_ins[children[0]]
                 continue
             tmp = [nodes_ins[c].copy() for c in children]
             nodes_ins[inode] = merge_indels(tmp)
+        if not progressed:
+            # a malformed tree (cycle / unreachable inode) would otherwise
+            # spin forever; the reference cannot hit this because Spirit
+            # rejects such newick, but our parser is more permissive
+            raise ValueError("Malformed tree: could not merge all nodes.")
 
 
 def ref_indel_alignment(inp: AlignmentParams) -> bool:

@@ -84,6 +84,32 @@ def test_kernel_matches_oracle_random(mg94_table, k):
         assert r.score == pytest.approx(osc, abs=1e-4)
 
 
+def test_kernel_matches_oracle_k5(mg94_table):
+    """Unusual gap unit (k=5, not in {1,3}): kernel ring sizing max(k,2)+1
+    and margin strides must still match the oracle."""
+    import random
+
+    rng = random.Random(55)
+    gap = GapParams(len=5)
+    ancs, dess, enc_as, enc_bs = [], [], [], []
+    for _ in range(6):
+        # ancestor length must be a multiple of both 3 and k=5 -> 15
+        anc = _random_codon_seq(rng, 5 * rng.randint(1, 3))
+        des = _random_nuc_seq(rng, 5 * rng.randint(1, 8))
+        a, b = encode_marginal(anc, des)
+        ancs.append(anc)
+        dess.append(des)
+        enc_as.append(a)
+        enc_bs.append(b)
+    results = viterbi_align_batch(enc_as, enc_bs, ancs, dess, mg94_table, gap,
+                                  quantum=16)
+    for i in range(len(ancs)):
+        o0, o1, osc = _align_oracle(ancs[i], dess[i], mg94_table, gap)
+        r = results[i]
+        assert (r.seq0, r.seq1) == (o0, o1), f"pair {i}: {ancs[i]} {dess[i]}"
+        assert r.score == pytest.approx(osc, abs=1e-4)
+
+
 def test_kernel_score_only_matches(mg94_table):
     import random
 

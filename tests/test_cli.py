@@ -144,6 +144,48 @@ def test_unknown_verb(capsys):
     assert main(["bogus"]) == 1
 
 
+def test_positive_number_checks(tmp_path, capsys):
+    """CLI11 PositiveNumber parity (utils.cc:107-131): -t/-g/-e/-w/-b > 0."""
+    inp = _write(tmp_path, "in.fasta", ">1\nCTCTGG\n>2\nCTCTGG\n")
+    for flag in ("-t", "-g", "-e", "-w", "-b"):
+        assert main(["alignpair", inp, flag, "0"]) != 0, flag
+        assert main(["alignpair", inp, flag, "-0.5"]) != 0, flag
+    for flag in ("-t", "-g", "-e", "-w"):
+        assert main(["sample", inp, flag, "0"]) != 0, flag
+
+
+def test_sample_sub_excludes_model(tmp_path):
+    """--sub excludes --model for sample too (utils.cc:341-343)."""
+    inp = _write(tmp_path, "in.fasta", ">1\nCTCTGG\n>2\nCTCTGG\n")
+    rate = _write(tmp_path, "r.csv", "0.0133\n")
+    assert main(["sample", inp, "--sub", rate, "-m", "mar-ecm"]) != 0
+
+
+def test_format_padding_needs_preserve_phase(tmp_path):
+    """-c/--padding ->needs(-p) (utils.cc:443-445)."""
+    inp = _write(tmp_path, "in.fasta", ">a\nACG\n>b\nACG\n")
+    assert main(["format", inp, "-c", "?"]) != 0
+    assert main(["format", inp, "-p", "-c", "?"]) == 0
+
+
+def test_version_machinery():
+    """version_number_check_equal / version_integer inventory cases
+    (reference version.cc:37-58)."""
+    from coati_tpu.version import (
+        check_version_number,
+        version_integer,
+        version_integer_from_string,
+        version_number_check_equal,
+    )
+
+    assert version_number_check_equal(version_integer())
+    assert not version_number_check_equal(-1)
+    assert check_version_number() == 0
+    assert check_version_number(-1) == 1
+    # encoding formula parity: (major*1000 + minor)*10000 + patch
+    assert version_integer_from_string("1.2.3") == (1000 + 2) * 10000 + 3
+
+
 def test_user_rate_matrix(tmp_path):
     """--sub CSV path (mar model from user matrix)."""
     import numpy as np

@@ -183,3 +183,22 @@ def test_msa_rejects_triplet_model(tmp_path):
     rc = main(["msa", str(tmp_path / "in.fasta"), str(tmp_path / "tree.newick"),
                "A", "-m", "tri-mg"])
     assert rc == 1
+
+
+def test_merge_alignments_malformed_tree_raises():
+    """A tree whose inode can never become mergeable must raise, not spin."""
+    from coati_tpu.msa.msa import merge_alignments
+    from coati_tpu.msa.tree import Node
+
+    # inode 0 depends on a child (1) that is itself an unvisited inode with
+    # no children -> no progress possible
+    tree = [
+        Node(label="", length=0.0, is_leaf=False, parent=0, children=[1]),
+        Node(label="", length=0.0, is_leaf=False, parent=0, children=[2]),
+        Node(label="x", length=0.0, is_leaf=True, parent=1, children=[]),
+    ]
+    tree[1].children = []  # orphan: never satisfiable
+    visited = [False, False, True]
+    # inode 1 not in inode_indexes -> it can never be visited
+    with pytest.raises(ValueError, match="Malformed tree"):
+        merge_alignments(visited, tree, [None, None, None], [0])
