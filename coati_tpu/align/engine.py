@@ -241,12 +241,28 @@ def viterbi_align_batch(
     gap,
     quantum: int = 96,
     max_batch_cells: int = 1 << 30,
+    table_idx=None,
 ) -> list[AlignResult]:
     """Align many pairs: bucket by padded shape, run the wavefront kernel per
-    bucket, traceback on host. Results keep input order."""
+    bucket, traceback on host. Results keep input order.
+
+    table_idx: optional per-pair index into a stacked table [G, 183, 15] —
+    pairs with different model parameters (e.g. MSA leaves at distinct branch
+    lengths) batch into ONE kernel call. The index is folded into the
+    ancestor encoding (enc_a + 183*idx against the flattened [G*183, 15]
+    table), so the kernels are untouched."""
     k = int(gap.len)
     gc = gap_consts_array(gap)
     table32 = np.asarray(table, dtype=np.float32)
+    if table_idx is not None:
+        if table32.ndim != 3:
+            raise ValueError("table_idx requires a stacked [G, rows, 15] table")
+        nrows = table32.shape[1]
+        enc_as = [
+            np.asarray(a, dtype=np.int32) + np.int32(nrows * int(table_idx[i]))
+            for i, a in enumerate(enc_as)
+        ]
+        table32 = table32.reshape(-1, table32.shape[-1])
 
     buckets: dict[tuple[int, int], list[int]] = collections.defaultdict(list)
     for idx, (a, b) in enumerate(zip(enc_as, enc_bs)):

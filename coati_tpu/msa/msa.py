@@ -23,38 +23,49 @@ from coati_tpu.structs import AlignmentParams
 def align_leafs(inp: AlignmentParams, tree, ref_pos, ref_seq, nodes_ins):
     """Pairwise-align every non-reference leaf against the reference.
 
-    Branch lengths differ per leaf, so leaves sharing a subst table are
-    batched together through the engine (align_msa.cc:285-318 reruns the
-    expm per leaf; here it's computed once per distinct distance)."""
+    Every leaf goes through ONE batched engine call: per-distinct-branch-
+    length subst tables are stacked [G, 183, 15] and each pair carries a
+    table index (the reference reruns the expm AND the DP serially per
+    leaf, align_msa.cc:285-318; real trees have unique distances, so
+    grouping by distance alone would degenerate to batch size 1)."""
+    import numpy as np
+
     from coati_tpu.align.engine import viterbi_align_batch
 
-    # group leaves by branch length -> one subst table per group
-    groups: dict[float, list[int]] = {}
+    # one subst table per distinct branch length, one engine call overall
+    group_of_br: dict[float, int] = {}
+    leaf_nodes: list[tuple[int, float]] = []
     for node in range(len(tree)):
         if tree[node].is_leaf and tree[node].label != inp.refs:
             br = treemod.distance_ref(tree, ref_pos, node)
-            groups.setdefault(br, []).append(node)
+            leaf_nodes.append((node, br))
+            group_of_br.setdefault(br, len(group_of_br))
+    if not leaf_nodes:
+        return
 
-    enc_ref = None
-    for br_len, nodes in groups.items():
-        inp.br_len = br_len
+    tables = [None] * len(group_of_br)
+    for br, g in group_of_br.items():
+        inp.br_len = br
         utils.set_subst(inp)
-        enc_as, enc_bs, a_strs, b_strs = [], [], [], []
-        for node in nodes:
-            leaf_seq = treemod.find_seq(tree[node].label, inp.data)
-            ea, eb = utils.encode_marginal(ref_seq, leaf_seq)
-            enc_as.append(ea)
-            enc_bs.append(eb)
-            a_strs.append(ref_seq)
-            b_strs.append(leaf_seq)
-        results = viterbi_align_batch(
-            enc_as, enc_bs, a_strs, b_strs, inp.subst_matrix, inp.gap
-        )
-        for node, r in zip(nodes, results):
-            ins = insertion_flags(r.seq0, r.seq1)
-            nodes_ins[node] = InsertionData.single(
-                r.seq1, tree[node].label, ins
-            )
+        tables[g] = np.asarray(inp.subst_matrix, dtype=np.float32)
+
+    enc_as, enc_bs, a_strs, b_strs, table_idx = [], [], [], [], []
+    for node, br in leaf_nodes:
+        leaf_seq = treemod.find_seq(tree[node].label, inp.data)
+        ea, eb = utils.encode_marginal(ref_seq, leaf_seq)
+        enc_as.append(ea)
+        enc_bs.append(eb)
+        a_strs.append(ref_seq)
+        b_strs.append(leaf_seq)
+        table_idx.append(group_of_br[br])
+
+    results = viterbi_align_batch(
+        enc_as, enc_bs, a_strs, b_strs, np.stack(tables), inp.gap,
+        table_idx=table_idx,
+    )
+    for (node, _), r in zip(leaf_nodes, results):
+        ins = insertion_flags(r.seq0, r.seq1)
+        nodes_ins[node] = InsertionData.single(r.seq1, tree[node].label, ins)
 
 
 def merge_alignments(visited, tree, nodes_ins, inode_indexes):

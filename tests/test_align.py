@@ -211,3 +211,39 @@ def test_alignment_score_rejects_bad_inputs(mg94_table):
     aln2.data = SeqData(names=["A", "B"], seqs=["ATAC", "ATA-"])
     with pytest.raises(ValueError):
         alignment_score(aln2, mg94_table)
+
+
+def test_table_idx_batches_mixed_tables(mg94_table):
+    """Per-pair table indices: one batched call over pairs with different
+    substitution tables must match per-table calls exactly."""
+    import random
+
+    from coati_tpu.models import marginal_p, mg94_p
+
+    rng = random.Random(99)
+    pi = (0.308, 0.185, 0.199, 0.308)
+    t2 = marginal_p(mg94_p(0.05, 0.2, pi), pi).astype(np.float32)
+    tables = np.stack([np.asarray(mg94_table, np.float32), t2])
+    gap = GapParams()
+
+    ancs, dess, enc_as, enc_bs, idxs = [], [], [], [], []
+    for i in range(8):
+        anc = _random_codon_seq(rng, rng.randint(3, 10))
+        des = _random_nuc_seq(rng, rng.randint(4, 25))
+        a, b = encode_marginal(anc, des)
+        ancs.append(anc)
+        dess.append(des)
+        enc_as.append(a)
+        enc_bs.append(b)
+        idxs.append(i % 2)
+
+    batched = viterbi_align_batch(
+        enc_as, enc_bs, ancs, dess, tables, gap, quantum=16, table_idx=idxs
+    )
+    for i in range(len(ancs)):
+        ref = viterbi_align_batch(
+            [enc_as[i]], [enc_bs[i]], [ancs[i]], [dess[i]],
+            tables[idxs[i]], gap, quantum=16,
+        )[0]
+        assert (batched[i].seq0, batched[i].seq1) == (ref.seq0, ref.seq1)
+        assert batched[i].score == pytest.approx(ref.score, abs=1e-5)

@@ -202,3 +202,27 @@ def test_merge_alignments_malformed_tree_raises():
     # inode 1 not in inode_indexes -> it can never be visited
     with pytest.raises(ValueError, match="Malformed tree"):
         merge_alignments(visited, tree, [None, None, None], [0])
+
+
+def test_msa_single_engine_call(tmp_path, monkeypatch):
+    """All leaves (unique branch lengths) batch into ONE engine call."""
+    import coati_tpu.align.engine as eng
+
+    calls = []
+    orig = eng.viterbi_align_batch
+
+    def counting(*args, **kwargs):
+        calls.append(len(args[0]))
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(eng, "viterbi_align_batch", counting)
+
+    fasta = tmp_path / "msa.fasta"
+    fasta.write_text(
+        ">A\nTCATCG\n>B\nTCAGTCG\n>C\nTATCG\n>D\nTCACTCG\n>E\nTCATC\n"
+    )
+    tree = tmp_path / "tree.newick"
+    tree.write_text("((((A:0.11,B:0.23):0.39,C:0.41):0.17,D:0.53):0.05,E:0.61);")
+    out = tmp_path / "out.fasta"
+    assert main(["msa", str(fasta), str(tree), "A", "-o", str(out)]) == 0
+    assert calls == [4]  # 4 non-reference leaves, one batched call
