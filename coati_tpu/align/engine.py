@@ -58,7 +58,13 @@ def _round_up(x: int, q: int) -> int:
 SMALL_CALL_CELLS = 1 << 24
 
 
-def _device_for(cells: int):
+def _devices_for(cells: int) -> list:
+    """All local devices of the platform chosen for a call of `cells` size.
+
+    The engine round-robins chunks across every returned device (the
+    production multi-chip path: the workload is embarrassingly data-parallel
+    over pair chunks, so independent async dispatches per device scale
+    without collectives). COATI_TPU_MAX_DEVICES caps the fan-out."""
     import os
 
     force = os.environ.get("COATI_TPU_FORCE_PLATFORM", "")
@@ -66,16 +72,24 @@ def _device_for(cells: int):
         # touch only the CPU backend: initializing a (remote) TPU backend
         # can cost seconds-to-minutes and is wasted on small calls
         try:
-            return jax.devices("cpu")[0]
+            devs = jax.devices("cpu")
         except RuntimeError:
-            return jax.devices()[0]
-    default = jax.devices()[0]
-    if default.platform == "cpu":
-        try:
-            return jax.devices("cpu")[0]
-        except RuntimeError:
-            pass
-    return default
+            devs = jax.devices()
+    else:
+        devs = jax.devices()
+        if devs[0].platform == "cpu":
+            try:
+                devs = jax.devices("cpu")
+            except RuntimeError:
+                pass
+    cap = int(os.environ.get("COATI_TPU_MAX_DEVICES", "0"))
+    if cap > 0:
+        devs = devs[:cap]
+    return list(devs)
+
+
+def _device_for(cells: int):
+    return _devices_for(cells)[0]
 
 
 def ops_to_strings(ops_fwd, score, a_strs, b_strs, k):
@@ -143,16 +157,13 @@ def _pallas_bc_for(C: int, want_bp: bool) -> int | None:
     return None
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "use_pallas", "code_cols", "bc")
-)
-def _align_step_jit(aseq, bseq, la, lb, table32, gc, *, k, use_pallas,
-                    code_cols=tuple(range(15)), bc=PALLAS_BC):
-    """Fused DP fill + on-device traceback in ONE dispatch.
+def fused_align_ops_impl(aseq, bseq, la, lb, table32, gc, *, k, use_pallas,
+                         code_cols=tuple(range(15)), bc=PALLAS_BC):
+    """Fused DP fill + on-device traceback — the per-device alignment step.
 
-    A single executable per chunk matters when the host<->device link has
-    high latency: the packed bp stack never leaves the device, and only the
-    op sequences + scores are fetched."""
+    Shared by the single-device jit (below) and the shard_map mesh path
+    (parallel/mesh.py), so every execution mode runs the identical
+    Pallas/XLA kernel."""
     from coati_tpu.align.wavefront import (
         traceback_ops_impl,
         wavefront_impl,
@@ -172,6 +183,14 @@ def _align_step_jit(aseq, bseq, la, lb, table32, gc, *, k, use_pallas,
         )
     ops, (_, score) = traceback_ops_impl(bp, corners, la, lb, k=k)
     return ops, score
+
+
+# A single executable per chunk matters when the host<->device link has
+# high latency: the packed bp stack never leaves the device, and only the
+# op sequences + scores are fetched.
+_align_step_jit = functools.partial(
+    jax.jit, static_argnames=("k", "use_pallas", "code_cols", "bc")
+)(fused_align_ops_impl)
 
 
 def _align_step(aseq, bseq, la, lb, table32, gc, k, dev, fetch=True):
@@ -271,12 +290,21 @@ def viterbi_align_batch(
         buckets[(qa, qb)].append(idx)
 
     results: list[AlignResult | None] = [None] * len(enc_as)
+    total_cells = sum(
+        (qa + k) * (qb + k) * len(v) for (qa, qb), v in buckets.items()
+    )
+    devs = _devices_for(total_cells)
     # phase 1: launch every chunk asynchronously (jax dispatch is async, so
-    # device work for chunk N overlaps host prep of chunk N+1)
+    # device work for chunk N overlaps host prep of chunk N+1); chunks
+    # round-robin across every local device of the chosen platform
     inflight = []
+    n_launched = 0
     for (qa, qb), idxs in buckets.items():
         cells = (qa + k) * (qb + k)
         max_b = max(1, max_batch_cells // cells)
+        if len(devs) > 1:
+            # split big buckets so every device gets work
+            max_b = max(1, min(max_b, -(-len(idxs) // len(devs))))
         for s in range(0, len(idxs), max_b):
             chunk = idxs[s : s + max_b]
             # pad short tail chunks with dummy pairs so every chunk of a
@@ -288,7 +316,8 @@ def viterbi_align_batch(
                 [enc_as[i] for i in padded], [enc_bs[i] for i in padded],
                 quantum,
             )
-            dev = _device_for(len(padded) * cells)
+            dev = devs[n_launched % len(devs)]
+            n_launched += 1
             with jax.default_device(dev):
                 ops_d, score_d = _align_step(
                     aseq, bseq, la, lb, table32, gc, k, dev, fetch=False
