@@ -140,6 +140,11 @@ import os as _os
 PALLAS_BC = int(_os.environ.get("COATI_TPU_PALLAS_BC", "32"))
 # scratch budget: (3*ring + 15 + 3) * bc * C * 4 bytes must fit VMEM
 PALLAS_MAX_C = 2816
+# descendants longer than this many slots route to the segmented two-pass
+# long-pair path (align/longseq.py): beyond it the Pallas traceback kernel
+# runs out of VMEM and the XLA fallback's full [Dtot, B, C] bp stack grows
+# quadratically (~4 GB at 32 knt)
+LONG_PAIR_SLOTS = int(_os.environ.get("COATI_TPU_LONG_SLOTS", "11264"))
 
 
 def _pallas_bc_for(C: int, want_bp: bool) -> int | None:
@@ -284,7 +289,11 @@ def viterbi_align_batch(
         table32 = table32.reshape(-1, table32.shape[-1])
 
     buckets: dict[tuple[int, int], list[int]] = collections.defaultdict(list)
+    long_pairs: list[int] = []
     for idx, (a, b) in enumerate(zip(enc_as, enc_bs)):
+        if len(b) + k > LONG_PAIR_SLOTS:
+            long_pairs.append(idx)
+            continue
         qa = max(_round_up(len(a), quantum), quantum)
         qb = max(_round_up(len(b), quantum), quantum)
         buckets[(qa, qb)].append(idx)
@@ -323,6 +332,18 @@ def viterbi_align_batch(
                     aseq, bseq, la, lb, table32, gc, k, dev, fetch=False
                 )
             inflight.append((chunk, n_real, ops_d, score_d))
+
+    # long pairs: segmented two-pass traceback, one at a time (O(n) memory)
+    if long_pairs:
+        from coati_tpu.align.longseq import viterbi_align_long
+
+        dev = _devices_for(1 << 62)[0]  # long pairs always warrant the TPU
+        with jax.default_device(dev):
+            for idx in long_pairs:
+                results[idx] = viterbi_align_long(
+                    enc_as[idx], enc_bs[idx], a_strs[idx], b_strs[idx],
+                    table32, gap,
+                )
 
     # phase 2: fetch + build strings in launch order
     for chunk, n_real, ops_d, score_d in inflight:

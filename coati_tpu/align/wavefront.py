@@ -78,12 +78,27 @@ def wavefront_impl(
     semiring: str = "tropical",
     mode: str = "viterbi",
     unroll: int = 1,
+    d_start=None,  # traced int32: first diagonal of this segment (default 0)
+    n_steps: int | None = None,  # static: diagonals to run (default all)
+    ring_init=None,  # [K, 3, B, C] f32: carried diagonals d_start-1..d_start-K
+    corner_init=None,  # (cM, cD, cI) raw captured corners so far
+    return_carry: bool = False,  # also return (ring_out, raw corners)
 ):
+    """Anti-diagonal wavefront DP. With the segment arguments this computes
+    diagonals [d_start, d_start + n_steps) from a carried ring state — the
+    building block for O(n)-memory long-pair two-pass traceback
+    (align/longseq.py); the defaults run the whole matrix in one call.
+    Only the LAST segment's terminal-adjusted corner return is meaningful;
+    segmented callers thread the raw carry instead."""
     B, NA = aseq.shape
     NB = bseq.shape[1]
     R = NA + k
     C = NB + k
     Dtot = R + C - 1
+    if n_steps is None:
+        n_steps = Dtot
+    if d_start is None:
+        d_start = jnp.int32(0)
 
     ng, gs, go, ge = (gap_consts[i] for i in range(4))
     gek1 = ge * jnp.float32(k - 1)
@@ -207,25 +222,46 @@ def wavefront_impl(
             ys = None
         return (new_ring, (cM, cD, cI)), ys
 
-    ring0 = tuple((empty_diag(), empty_diag(), empty_diag()) for _ in range(K))
-    corner0 = (
-        jnp.full((B,), LOWEST),
-        jnp.full((B,), LOWEST),
-        jnp.full((B,), LOWEST),
-    )
-    (_, (cM, cD, cI)), ys = jax.lax.scan(
-        step, (ring0, corner0), jnp.arange(Dtot, dtype=jnp.int32), unroll=unroll
+    if ring_init is None:
+        ring0 = tuple(
+            (empty_diag(), empty_diag(), empty_diag()) for _ in range(K)
+        )
+    else:
+        ring0 = tuple(
+            (ring_init[q, 0], ring_init[q, 1], ring_init[q, 2])
+            for q in range(K)
+        )
+    if corner_init is None:
+        corner0 = (
+            jnp.full((B,), LOWEST),
+            jnp.full((B,), LOWEST),
+            jnp.full((B,), LOWEST),
+        )
+    else:
+        corner0 = corner_init
+    (ring_out, (cM, cD, cI)), ys = jax.lax.scan(
+        step,
+        (ring0, corner0),
+        jnp.arange(n_steps, dtype=jnp.int32) + d_start,
+        unroll=unroll,
     )
 
     # terminal-state adjustment (align_pair.cc:130-138)
-    cM = (cM + ng) + ng
-    cI = (cI + gs) + ng
-    cD = cD + gs
-    return (cM, cD, cI), ys
+    cMa = (cM + ng) + ng
+    cIa = (cI + gs) + ng
+    cDa = cD + gs
+    if return_carry:
+        ring_arr = jnp.stack(
+            [jnp.stack(ring_out[q], axis=0) for q in range(K)], axis=0
+        )
+        return (cMa, cDa, cIa), ys, (ring_arr, (cM, cD, cI))
+    return (cMa, cDa, cIa), ys
 
 
 wavefront = functools.partial(
-    jax.jit, static_argnames=("k", "semiring", "mode", "unroll")
+    jax.jit,
+    static_argnames=("k", "semiring", "mode", "unroll", "n_steps",
+                     "return_carry"),
 )(wavefront_impl)
 
 

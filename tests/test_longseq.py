@@ -1,0 +1,75 @@
+"""Long-pair segmented two-pass traceback vs the full-bp engine path."""
+
+import numpy as np
+import pytest
+
+from coati_tpu.align.engine import viterbi_align_batch
+from coati_tpu.align.longseq import viterbi_align_long
+from coati_tpu.structs import GapParams
+from coati_tpu.utils import encode_marginal
+
+
+def _mutated_pair(rng, n_codons, sub_rate=0.05, n_indels=2):
+    from coati_tpu.constants import CODONS61
+
+    anc = "".join(rng.choice(CODONS61) for _ in range(n_codons))
+    des = list(anc)
+    nts = "ACGT"
+    for i in range(len(des)):
+        if rng.random() < sub_rate:
+            des[i] = rng.choice(nts)
+    des = "".join(des)
+    for _ in range(n_indels):
+        ln = rng.randint(1, 9)
+        pos = rng.randint(0, max(0, len(des) - ln))
+        if rng.random() < 0.5:
+            des = des[:pos] + des[pos + ln:]
+        else:
+            des = des[:pos] + "".join(rng.choice(nts) for _ in range(ln)) + des[pos:]
+    return anc, des
+
+
+@pytest.mark.parametrize("k,seg", [(1, 256), (1, 333), (3, 256)])
+def test_long_path_matches_full_bp(mg94_table, k, seg):
+    """Segmented walk == full-backpointer engine on multi-segment pairs."""
+    import random
+
+    rng = random.Random(42 + k + seg)
+    gap = GapParams(len=k)
+    anc, des = _mutated_pair(rng, 180)  # 540 nt -> ~1100 diagonals
+    if k == 3 and len(des) % 3 != 0:
+        des = des[: len(des) - len(des) % 3]
+    ea, eb = encode_marginal(anc, des)
+
+    full = viterbi_align_batch([ea], [eb], [anc], [des], mg94_table, gap,
+                               quantum=64)[0]
+    long_r = viterbi_align_long(ea, eb, anc, des, mg94_table, gap,
+                                seg_diagonals=seg, quantum=64)
+    assert (long_r.seq0, long_r.seq1) == (full.seq0, full.seq1)
+    assert long_r.score == pytest.approx(full.score, abs=1e-4)
+
+
+def test_engine_routes_long_pairs(mg94_table, monkeypatch):
+    """Pairs beyond LONG_PAIR_SLOTS transparently use the segmented path."""
+    import random
+
+    import coati_tpu.align.engine as eng
+
+    monkeypatch.setattr(eng, "LONG_PAIR_SLOTS", 400)
+    rng = random.Random(7)
+    gap = GapParams()
+    # one long (routed) + one short (bucketed) pair in the same call
+    anc_l, des_l = _mutated_pair(rng, 170)
+    anc_s, des_s = _mutated_pair(rng, 20)
+    enc = [encode_marginal(anc_l, des_l), encode_marginal(anc_s, des_s)]
+    results = eng.viterbi_align_batch(
+        [enc[0][0], enc[1][0]], [enc[0][1], enc[1][1]],
+        [anc_l, anc_s], [des_l, des_s], mg94_table, gap, quantum=64,
+    )
+    # cross-check each against the unrouted engine
+    monkeypatch.setattr(eng, "LONG_PAIR_SLOTS", 10**9)
+    for (ea, eb), a, d, r in zip(enc, [anc_l, anc_s], [des_l, des_s], results):
+        ref = eng.viterbi_align_batch([ea], [eb], [a], [d], mg94_table, gap,
+                                      quantum=64)[0]
+        assert (r.seq0, r.seq1) == (ref.seq0, ref.seq1)
+        assert r.score == pytest.approx(ref.score, abs=1e-4)
