@@ -91,6 +91,18 @@ class TripletModel:
         me[:, 4] = 0.0
         self.match_emit = me
         self.cnuc = C.CODON_NUC.T.copy()  # [3, 61]
+        if not codon:
+            # dna model: the 4-lane intermediate nucleotide is entered and
+            # collapsed within a single row, so the per-symbol channel folds
+            # into effective tables (mutation_fst.cc:105-148 composed with
+            # the indel FST's match/delete arcs, :232-247):
+            #   match: max_mid logP[a, mid] + me[mid, des]
+            #   delete: the deleted symbol still passed the channel ->
+            #           max_mid logP[a, mid]
+            self.match_emit_eff = (
+                self.logP[:, :, None] + me[None, :, :]
+            ).max(axis=1)  # [4, 5]
+            self.del_cost = self.logP.max(axis=1)  # [4]
 
 
 def build_triplet_model(aln: AlignmentParams) -> TripletModel:
@@ -188,14 +200,14 @@ class _DP:
             I = self.row_ins(M)
             return M, D, I
         x = self.anc[i - 1]
-        emit = m.match_emit[x][self.des]
+        emit = m.match_emit_eff[x][self.des]
         M = np.full(self.Cc, NEG)
         M[1:] = np.maximum(
             np.maximum(M_prev[:-1] + (ng + ng), D_prev[:-1] + gs),
             I_prev[:-1] + (gs + ng),
         ) + emit
         D = np.maximum(np.maximum(M_prev + (ng + go), D_prev + ge),
-                       I_prev + (gs + go))
+                       I_prev + (gs + go)) + m.del_cost[x]
         I = self.row_ins(M)
         return M, D, I
 

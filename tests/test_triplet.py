@@ -134,6 +134,77 @@ def test_triplet_brute_force_cross_check(tri_mg):
         assert ds == pytest.approx(bf, abs=1e-6), (anc, des)
 
 
+def _brute_force_dna(model, anc, des):
+    """dna-model path enumeration: each consumed ancestor symbol passes the
+    4x4 substitution channel (max over the intermediate nucleotide), matches
+    additionally pay the base-calling emission, insertions pay pi."""
+    from coati_tpu.triplet_hmm import encode_triplet_des
+
+    n, m = len(anc), len(des)
+    anc_c = encode_triplet_des(anc)
+    des_c = encode_triplet_des(des)
+    paths = []
+
+    def gen(i, j, prev, ops):
+        if i == n and j == m:
+            paths.append((list(ops), prev))
+            return
+        if i < n and j < m:
+            gen(i + 1, j + 1, "M", ops + [("M", i, j)])
+        if i < n:
+            gen(i + 1, j, "D", ops + [("D", i, j)])
+        if j < m and prev != "D":
+            gen(i, j + 1, "I", ops + [("I", i, j)])
+
+    gen(0, 0, "S", [])
+    best = -1e30
+    for ops, last in paths:
+        logp = 0.0
+        prev = "S"
+        valid = True
+        for (op, i, j) in ops:
+            if op == "M":
+                logp += {"S": model.ng * 2, "M": model.ng * 2,
+                         "I": model.gs + model.ng, "D": model.gs}[prev]
+                logp += max(
+                    model.logP[anc_c[i], mid]
+                    + model.match_emit[mid, des_c[j]]
+                    for mid in range(4)
+                )
+            elif op == "D":
+                logp += {"S": model.ng + model.go, "M": model.ng + model.go,
+                         "I": model.gs + model.go, "D": model.ge}[prev]
+                logp += max(model.logP[anc_c[i], mid] for mid in range(4))
+            else:
+                t = {"S": model.go, "M": model.go, "I": model.ge}.get(prev)
+                if t is None:
+                    valid = False
+                    break
+                logp += t + model.ins_emit[des_c[j]]
+            prev = op
+        if not valid:
+            continue
+        logp += {"S": model.ng * 2, "M": model.ng * 2,
+                 "I": model.gs + model.ng, "D": model.gs}[prev]
+        best = max(best, logp)
+    return -best
+
+
+def test_dna_brute_force_cross_check():
+    import random
+
+    aln = AlignmentParams()
+    aln.model = "dna"
+    m = build_triplet_model(aln)
+    rng = random.Random(23)
+    for _ in range(8):
+        anc = "".join(rng.choice("ACGT") for _ in range(rng.randint(2, 5)))
+        des = "".join(rng.choice("ACGT") for _ in range(rng.randint(1, 5)))
+        bf = _brute_force_dna(m, anc, des)
+        ds = triplet_score(m, anc, des)
+        assert ds == pytest.approx(bf, abs=1e-6), (anc, des)
+
+
 def test_triplet_n_descendant(tri_mg):
     # N matches anything for free
     s0, s1, _ = triplet_align(tri_mg, "CTCTGG", "CTCTGN")
