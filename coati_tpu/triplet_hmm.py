@@ -133,24 +133,29 @@ def build_triplet_model(aln: AlignmentParams) -> TripletModel:
 
 
 class _DP:
-    """Row-sweep DP engine over columns j (0..m) and codon lanes."""
+    """Row-sweep DP engine over columns j (0..m) and codon lanes.
 
-    def __init__(self, model: TripletModel, anc: np.ndarray, des: np.ndarray):
+    dtype=float32 reproduces the device forward's arithmetic so traceback
+    block-recompute decisions are consistent with device boundary rows."""
+
+    def __init__(self, model: TripletModel, anc: np.ndarray, des: np.ndarray,
+                 dtype=np.float64):
         self.m = model
         self.anc = anc
         self.des = des
+        self.dtype = dtype
         self.Cc = len(des) + 1
-        e = model.ins_emit[des]
-        self.cumE = np.concatenate([[0.0], np.cumsum(e)])  # [Cc]
-        j = np.arange(self.Cc, dtype=np.float64)
-        self.ins_off = self.cumE + model.ge * j  # reused offsets
+        e = model.ins_emit[des].astype(dtype)
+        self.cumE = np.concatenate([[0.0], np.cumsum(e)]).astype(dtype)  # [Cc]
+        j = np.arange(self.Cc, dtype=dtype)
+        self.ins_off = (self.cumE + dtype(model.ge) * j).astype(dtype)
         self.n_lanes = 61 if model.codon else 1
 
     def init_row(self):
         """Boundary row 0: M=[one at j=0], D=-inf, I = insertion run margin."""
-        M0 = np.full(self.Cc, NEG)
+        M0 = np.full(self.Cc, NEG, dtype=self.dtype)
         M0[0] = 0.0
-        D0 = np.full(self.Cc, NEG)
+        D0 = np.full(self.Cc, NEG, dtype=self.dtype)
         I0 = self.row_ins(M0)
         return M0, D0, I0
 
@@ -161,7 +166,7 @@ class _DP:
         if Mrow.ndim == 1:
             base = Mrow - self.ins_off
             run = np.maximum.accumulate(base)
-            out = np.full(self.Cc, NEG)
+            out = np.full(self.Cc, NEG, dtype=Mrow.dtype)
             out[1:] = run[:-1] + self.ins_off[1:] + (m.go - m.ge)
             return out
         base = Mrow - self.ins_off[:, None]
@@ -178,19 +183,20 @@ class _DP:
         """
         m = self.m
         ng, gs, go, ge = m.ng, m.gs, m.go, m.ge
+        dt = self.dtype
         if m.codon:
             p = (i - 1) % 3
             t = (i - 1) // 3
             x = m.cnuc[p]  # [61]
-            emit = m.match_emit[x][:, self.des].T  # [mlen, 61]
+            emit = m.match_emit[x][:, self.des].T.astype(dt)  # [mlen, 61]
             if p == 0:
-                cost = m.logP[self.anc[t]]  # [61] codon entry cost
+                cost = m.logP[self.anc[t]].astype(dt)  # [61] codon entry
                 Mp = _clp(M_prev)[:, None] + cost[None, :]
                 Dp = _clp(D_prev)[:, None] + cost[None, :]
                 Ip = _clp(I_prev)[:, None] + cost[None, :]
             else:
                 Mp, Dp, Ip = M_prev, D_prev, I_prev
-            M = np.full((self.Cc, 61), NEG)
+            M = np.full((self.Cc, 61), NEG, dtype=dt)
             M[1:] = np.maximum(
                 np.maximum(Mp[:-1] + (ng + ng), Dp[:-1] + gs),
                 Ip[:-1] + (gs + ng),
@@ -200,14 +206,14 @@ class _DP:
             I = self.row_ins(M)
             return M, D, I
         x = self.anc[i - 1]
-        emit = m.match_emit_eff[x][self.des]
-        M = np.full(self.Cc, NEG)
+        emit = m.match_emit_eff[x][self.des].astype(dt)
+        M = np.full(self.Cc, NEG, dtype=dt)
         M[1:] = np.maximum(
             np.maximum(M_prev[:-1] + (ng + ng), D_prev[:-1] + gs),
             I_prev[:-1] + (gs + ng),
         ) + emit
         D = np.maximum(np.maximum(M_prev + (ng + go), D_prev + ge),
-                       I_prev + (gs + go)) + m.del_cost[x]
+                       I_prev + (gs + go)) + dt(m.del_cost[x])
         I = self.row_ins(M)
         return M, D, I
 
@@ -253,19 +259,7 @@ def _argmax_pref(mv, dv, iv):
     return best
 
 
-def triplet_align(model, anc: str, des: str):
-    """Viterbi alignment under a triplet model.
-
-    Returns (seq0, seq1, score) with score = -log best path weight (the
-    FST ShortestDistance convention, align_fst.cc:91-97).
-
-    Backward walk over checkpointed boundary rows. Lane invariant: within a
-    codon block the optimal path's lane c' is constant; whenever the walk
-    arrives at a row with no lane bound (walk start, or after crossing a
-    codon-entry transition), any argmax lane of the current cell value is
-    globally optimal because the value flowing onward was collapsed at the
-    next codon entry.
-    """
+def encode_triplet_pair(model, anc: str, des: str):
     if model.codon:
         anc_enc = encode_triplet_anc(anc)
     else:
@@ -274,11 +268,33 @@ def triplet_align(model, anc: str, des: str):
             raise ValueError(
                 "Ambiguous nucleotides in reference sequence not supported."
             )
-    des_codes = encode_triplet_des(des)
+    return anc_enc, encode_triplet_des(des)
 
+
+def triplet_align(model, anc: str, des: str):
+    """Viterbi alignment under a triplet model.
+
+    Returns (seq0, seq1, score) with score = -log best path weight (the
+    FST ShortestDistance convention, align_fst.cc:91-97).
+    """
+    anc_enc, des_codes = encode_triplet_pair(model, anc, des)
     term, boundaries, dp = triplet_forward(
         model, anc_enc, des_codes, keep_boundaries=True
     )
+    return traceback_from_boundaries(model, anc, des, term, boundaries, dp)
+
+
+def traceback_from_boundaries(model, anc: str, des: str, term, boundaries,
+                              dp: _DP):
+    """Backward walk over checkpointed boundary rows (shared by the host
+    forward and the device batch forward).
+
+    Lane invariant: within a codon block the optimal path's lane c' is
+    constant; whenever the walk arrives at a row with no lane bound (walk
+    start, or after crossing a codon-entry transition), any argmax lane of
+    the current cell value is globally optimal because the value flowing
+    onward was collapsed at the next codon entry.
+    """
     n = len(anc)
     mnum = len(des)
     score = max(term)
@@ -374,6 +390,66 @@ def triplet_align(model, anc: str, des: str):
         i, j, state = pi_, pj, nxt
 
     return "".join(reversed(s0)), "".join(reversed(s1)), float(-score)
+
+
+def triplet_path_score(model, s0: str, s1: str) -> float:
+    """Score a FIXED aligned pair under the triplet model (the path weight
+    the FST composition would assign this exact alignment): transition
+    chain + per-codon-block max over the descendant-codon lane. Returns
+    -log weight like triplet_align. Independent of the DP engines — used
+    to verify that a traceback's alignment attains the optimal score."""
+    if len(s0) != len(s1):
+        raise ValueError("Aligned sequences must have equal length.")
+    anc = s0.replace("-", "")
+    des = s1.replace("-", "")
+    if model.codon:
+        anc_c = encode_triplet_anc(anc)
+    else:
+        anc_c = encode_triplet_des(anc)
+    des_c = encode_triplet_des(des)
+
+    ng, gs, go, ge = model.ng, model.gs, model.go, model.ge
+    into_m = {"S": ng * 2, "M": ng * 2, "I": gs + ng, "D": gs}
+    into_d = {"S": ng + go, "M": ng + go, "I": gs + go, "D": ge}
+    into_i = {"S": go, "M": go, "I": ge}
+
+    logp = 0.0
+    prev = "S"
+    i = j = 0
+    ops = []
+    for a, b in zip(s0, s1):
+        if a != "-" and b != "-":
+            logp += into_m[prev]
+            ops.append(("M", i, j))
+            if not model.codon:
+                logp += float(model.match_emit_eff[anc_c[i], des_c[j]])
+            i += 1
+            j += 1
+            prev = "M"
+        elif b == "-":
+            logp += into_d[prev]
+            if not model.codon:
+                logp += float(model.del_cost[anc_c[i]])
+            i += 1
+            prev = "D"
+        else:
+            if prev == "D":
+                raise ValueError("Insertion directly after deletion is "
+                                 "not representable.")
+            logp += into_i[prev] + float(model.ins_emit[des_c[j]])
+            j += 1
+            prev = "I"
+    logp += into_m[prev]  # terminal factor
+    if model.codon:
+        for t in range(len(anc) // 3):
+            lane = np.array(model.logP[anc_c[t]], dtype=np.float64)
+            for (op, ii, jj) in ops:
+                if op == "M" and 3 * t <= ii < 3 * t + 3:
+                    lane = lane + model.match_emit[
+                        model.cnuc[ii % 3], des_c[jj]
+                    ]
+            logp += float(lane.max())
+    return float(-logp)
 
 
 def triplet_score(model, anc: str, des: str) -> float:
