@@ -36,14 +36,15 @@ if QUICK:
     LENGTH_MIX = [(156, 0.6), (471, 0.4)]
 
 
-def make_pairs(n_pairs, rng):
+def make_pairs(n_pairs, rng, length_mix=None):
     """Synthetic homologous pairs: ancestor = random codons, descendant =
     ancestor with point mutations and occasional indels."""
     from coati_tpu.constants import CODONS61
 
     codon_arr = np.array(CODONS61)
-    lengths = [l for l, _ in LENGTH_MIX]
-    probs = np.array([p for _, p in LENGTH_MIX])
+    mix = length_mix if length_mix is not None else LENGTH_MIX
+    lengths = [l for l, _ in mix]
+    probs = np.array([p for _, p in mix])
     probs = probs / probs.sum()
     pairs = []
     nts = np.array(list("ACGT"))
@@ -112,6 +113,10 @@ def main() -> int:
     os.environ.setdefault("COATI_TPU_FORCE_PLATFORM", "tpu")
     import jax
 
+    if os.environ["COATI_TPU_FORCE_PLATFORM"] == "cpu":
+        # CPU smoke run: never initialize the (slow, remote) axon backend
+        jax.config.update("jax_platforms", "cpu")
+
     from coati_tpu.align.engine import viterbi_align_batch
 
     dev = jax.devices()[0]
@@ -148,6 +153,44 @@ def main() -> int:
     assert all(np.isfinite(r.score) for r in results)
     assert all(len(r.seq0) == len(r.seq1) for r in results)
 
+    # ---- secondary: triplet codon-context batch on device -------------------
+    from coati_tpu.structs import AlignmentParams
+    from coati_tpu.triplet_hmm import build_triplet_model
+    from coati_tpu.triplet_wavefront import triplet_align_batch
+
+    tri_aln = AlignmentParams()
+    tri_aln.model = "tri-mg"
+    tri_model = build_triplet_model(tri_aln)
+    n_tri = 8 if QUICK else 64
+    tri_len = 471 if QUICK else 999
+    tri_pairs = make_pairs(n_tri, rng, length_mix=[(tri_len, 1.0)])
+    _ = triplet_align_batch(tri_model, tri_pairs)  # compile
+    t0 = time.time()
+    tri_res = triplet_align_batch(tri_model, tri_pairs)
+    dt_tri = time.time() - t0
+    tri_cells = sum(len(a) * len(d) for a, d in tri_pairs)
+    assert all(np.isfinite(sc) for _, _, sc in tri_res)
+    tri_rate = tri_cells / dt_tri
+    print(f"# triplet: {n_tri} pairs x ~{tri_len} nt, "
+          f"{tri_rate/1e6:.0f} Mcells/s", file=sys.stderr)
+
+    # ---- secondary: one long pair (segmented O(n)-memory traceback) ---------
+    from coati_tpu.align.engine import viterbi_align_batch as _vab
+    from coati_tpu.utils import encode_marginal as _encm
+
+    long_nt = 7_998 if QUICK else 32_001
+    (lp,) = make_pairs(1, rng, length_mix=[(long_nt, 1.0)])
+    le_a, le_b = _encm(lp[0], lp[1])
+    _ = _vab([le_a], [le_b], [lp[0]], [lp[1]], table, gap)  # compile
+    t0 = time.time()
+    lres = _vab([le_a], [le_b], [lp[0]], [lp[1]], table, gap)
+    dt_long = time.time() - t0
+    long_cells = len(le_a) * len(le_b)
+    assert np.isfinite(lres[0].score)
+    long_rate = long_cells / dt_long
+    print(f"# long pair: {len(le_a)}x{len(le_b)} nt, "
+          f"{long_rate/1e6:.0f} Mcells/s", file=sys.stderr)
+
     vs_baseline = None
     if base_rate:
         base_total_s = true_cells / base_rate
@@ -163,6 +206,9 @@ def main() -> int:
         "n_pairs": N_PAIRS,
         "batch_seconds": round(dt, 3),
         "baseline_cells_per_sec": round(base_rate, 0) if base_rate else None,
+        "triplet_cells_per_sec": round(tri_rate, 0),
+        "longpair_cells_per_sec": round(long_rate, 0),
+        "longpair_nt": long_nt,
         "device": str(dev),
     }
     print(json.dumps(out))

@@ -36,6 +36,23 @@ def read_pairs_fasta(path: str):
     return pairs
 
 
+def _validate_triplet_pair(anc: str) -> None:
+    """Per-pair ancestor validation for the triplet path (utils.cc:1102-1135
+    semantics, applied per stream record instead of per process)."""
+    if len(anc) % 3 != 0:
+        raise ValueError("Length of reference sequence must be multiple of 3.")
+    up = anc.upper()
+    from coati_tpu import constants as C
+
+    for i in range(0, len(up) - 3, 3):
+        if up[i : i + 3] in C.STOP_CODON_STRS:
+            raise ValueError("Early stop codon in ancestor.")
+    if any(ch not in "ACGTUacgtu" for ch in anc):
+        raise ValueError(
+            "Ambiguous nucleotides in reference sequence not supported."
+        )
+
+
 def _load_done(manifest: str) -> set:
     done = set()
     if manifest and os.path.exists(manifest):
@@ -60,10 +77,19 @@ def batch_align(
     completed indices in `manifest` for resume. Returns pairs aligned.
 
     meter: optional profiling.ThroughputMeter accumulating cells/pairs/sec
-    across kernel calls."""
+    across kernel calls.
+
+    Triplet models (tri-mg / tri-ecm / dna) route to the batched codon-
+    context device path (triplet_wavefront.triplet_align_batch); marginal
+    models use the Pallas wavefront engine."""
     from coati_tpu.align.engine import viterbi_align_batch
 
     utils.set_subst(aln)
+    triplet_model = None
+    if not aln.is_marginal():
+        from coati_tpu.triplet_hmm import build_triplet_model
+
+        triplet_model = build_triplet_model(aln)
     done = _load_done(manifest)
     mf = open(manifest, "a") if manifest else None
 
@@ -78,9 +104,19 @@ def batch_align(
                 from coati_tpu.structs import SeqData
 
                 d = SeqData(names=[na, nb], seqs=[sa, sb])
-                utils.trim_end_stops(d)
                 try:
-                    ea, eb = utils.encode_marginal(d.seqs[0], d.seqs[1])
+                    if triplet_model is not None:
+                        _validate_triplet_pair(d.seqs[0])
+                        utils.trim_end_stops(d)
+                        from coati_tpu.triplet_hmm import encode_triplet_pair
+
+                        encode_triplet_pair(
+                            triplet_model, d.seqs[0], d.seqs[1]
+                        )
+                        ea = eb = None
+                    else:
+                        utils.trim_end_stops(d)
+                        ea, eb = utils.encode_marginal(d.seqs[0], d.seqs[1])
                 except ValueError as exc:
                     out_stream.write(json.dumps(
                         {"pair": i, "error": str(exc)}) + "\n")
@@ -96,17 +132,28 @@ def batch_align(
 
             if not keep:
                 continue
-            if meter is not None:
-                cells = sum(len(a) * len(b) for a, b in zip(enc_as, enc_bs))
-                with meter.measure(cells, len(keep)):
-                    results = viterbi_align_batch(
+            if triplet_model is not None:
+                from coati_tpu.align.engine import AlignResult
+                from coati_tpu.triplet_wavefront import triplet_align_batch
+
+                def run_chunk():
+                    trip = triplet_align_batch(
+                        triplet_model, list(zip(astrs, bstrs))
+                    )
+                    return [AlignResult(s0, s1, sc) for s0, s1, sc in trip]
+            else:
+                def run_chunk():
+                    return viterbi_align_batch(
                         enc_as, enc_bs, astrs, bstrs, aln.subst_matrix,
                         aln.gap,
                     )
+
+            if meter is not None:
+                cells = sum(len(a) * len(b) for a, b in zip(astrs, bstrs))
+                with meter.measure(cells, len(keep)):
+                    results = run_chunk()
             else:
-                results = viterbi_align_batch(
-                    enc_as, enc_bs, astrs, bstrs, aln.subst_matrix, aln.gap
-                )
+                results = run_chunk()
             for i, r, st in zip(keep, results, stops):
                 from coati_tpu.structs import SeqData
 
@@ -143,7 +190,7 @@ def cmd_batch(argv) -> int:
     p.add_argument("-o", "--output", default="", help="output JSONL (default stdout)")
     p.add_argument("--manifest", default="", help="progress manifest for resume")
     p.add_argument("-m", "--model", default="mar-mg",
-                   choices=["mar-mg", "mar-ecm"])
+                   choices=["mar-mg", "mar-ecm", "tri-mg", "tri-ecm", "dna"])
     p.add_argument("-t", "--time", type=float, default=0.0133, dest="br_len")
     p.add_argument("-g", "--gap-open", type=float, default=0.001)
     p.add_argument("-e", "--gap-extend", type=float, default=1 - 1 / 6)

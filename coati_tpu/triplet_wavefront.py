@@ -285,43 +285,78 @@ def triplet_boundaries_batch(model, anc_encs, des_encs):
     anc_encs: list of [n_cod_i] codon61 arrays; des_encs: list of [m_i]
     code arrays. Returns the boundary grid [n_cod_max + 1, 3, B, Cc] as
     numpy f32 (rows beyond a pair's own n_cod/m are padding)."""
+    anc_p, des_p, _, _, tables, n_cod = _pack_batch(model, anc_encs, des_encs)
+    ys = _triplet_rows(
+        jnp.asarray(anc_p), jnp.asarray(des_p), *tables, n_cod=n_cod
+    )
+    return np.asarray(jax.device_get(ys))
+
+
+def _pack_batch(model, anc_encs, des_encs):
     B = len(anc_encs)
     n_cod = max(len(a) for a in anc_encs)
     m = max(len(d) for d in des_encs)
     anc_p = np.zeros((B, n_cod), np.int32)
     des_p = np.zeros((B, m), np.int32)
+    lens_t = np.zeros(B, np.int32)
+    lens_m = np.zeros(B, np.int32)
     for i, (a, d) in enumerate(zip(anc_encs, des_encs)):
         anc_p[i, : len(a)] = a
         des_p[i, : len(d)] = d
+        lens_t[i] = len(a)
+        lens_m[i] = len(d)
 
     cnuc_oh = np.zeros((3, 61, 4), np.float32)
     for p in range(3):
         cnuc_oh[p, np.arange(61), C.CODON_NUC[:, p]] = 1.0
     gc = np.array([model.ng, model.gs, model.go, model.ge], np.float32)
-
-    ys = _triplet_rows(
-        jnp.asarray(anc_p),
-        jnp.asarray(des_p),
+    tables = (
         jnp.asarray(model.logP.astype(np.float32)),
         jnp.asarray(model.ins_emit.astype(np.float32)),
         jnp.asarray(model.match_emit.astype(np.float32)),
         jnp.asarray(cnuc_oh),
         jnp.asarray(gc),
-        n_cod=n_cod,
     )
-    return np.asarray(jax.device_get(ys))
+    return anc_p, des_p, lens_t, lens_m, tables, n_cod
 
 
-def triplet_align_batch(model, pairs):
-    """Align (anc, des) string pairs under a triplet model: batched device
-    forward + per-pair host traceback over the boundary grid.
+def _decode_ops(anc, des, ops_b, n_ops, i_end, j_end):
+    """Rebuild aligned strings from a backward op sequence (0=M 1=D 2=I)
+    ending at (i_end, j_end); leading row-0 insertions cover des[:j_end]."""
+    s0 = ["-" * j_end]
+    s1 = [des[:j_end]]
+    ia, jb = i_end, j_end
+    for t in range(n_ops - 1, -1, -1):
+        op = ops_b[t]
+        if op == 0:
+            s0.append(anc[ia])
+            s1.append(des[jb])
+            ia += 1
+            jb += 1
+        elif op == 1:
+            s0.append(anc[ia])
+            s1.append("-")
+            ia += 1
+        else:
+            s0.append("-")
+            s1.append(des[jb])
+            jb += 1
+    return "".join(s0), "".join(s1)
+
+
+def triplet_align_batch(model, pairs, traceback: str = "device"):
+    """Align (anc, des) string pairs under a triplet model on the
+    accelerator: batched device forward, then either the batched device
+    traceback (default; only op sequences leave the device) or the per-pair
+    host walk over the boundary grid (traceback="host" — the recompute
+    oracle the device walk is tested against).
 
     Returns [(seq0, seq1, score), ...]; matches triplet_hmm.triplet_align
-    output (the dna model routes to the host engine — its 1-lane rows are
-    host-cheap and its per-row boundary grid would be 3x larger)."""
+    output up to float32 tie-breaks (the dna model routes to the host
+    engine — its 1-lane rows are host-cheap and its per-row boundary grid
+    would be 3x larger)."""
     from coati_tpu.triplet_hmm import (
         _DP,
-        _argmax_pref,
         encode_triplet_pair,
         traceback_from_boundaries,
         triplet_align,
@@ -333,8 +368,33 @@ def triplet_align_batch(model, pairs):
     enc = [encode_triplet_pair(model, a, d) for a, d in pairs]
     anc_encs = [e[0] for e in enc]
     des_encs = [e[1] for e in enc]
-    grid = triplet_boundaries_batch(model, anc_encs, des_encs)
+    anc_p, des_p, lens_t, lens_m, tables, n_cod = _pack_batch(
+        model, anc_encs, des_encs
+    )
 
+    grid = _triplet_rows(
+        jnp.asarray(anc_p), jnp.asarray(des_p), *tables, n_cod=n_cod
+    )
+
+    if traceback == "device":
+        ops, s, i_end, j_end, score = _triplet_traceback(
+            grid, jnp.asarray(anc_p), jnp.asarray(des_p),
+            jnp.asarray(lens_t), jnp.asarray(lens_m), *tables, n_cod=n_cod
+        )
+        ops = np.asarray(jax.device_get(ops))
+        s = np.asarray(s)
+        i_end = np.asarray(i_end)
+        j_end = np.asarray(j_end)
+        score = np.asarray(score)
+        out = []
+        for b, (anc, des) in enumerate(pairs):
+            s0, s1 = _decode_ops(
+                anc, des, ops[:, b], int(s[b]), int(i_end[b]), int(j_end[b])
+            )
+            out.append((s0, s1, float(-score[b])))
+        return out
+
+    grid = np.asarray(jax.device_get(grid))
     out = []
     for b, ((anc, des), (ea, ed)) in enumerate(zip(pairs, enc)):
         ncb = len(ea)

@@ -57,3 +57,35 @@ def test_batch_bad_pair_reported(tmp_path):
     rows = [json.loads(l) for l in out.read_text().splitlines()]
     assert "error" in rows[0]
     assert rows[1]["alignment"]
+
+def test_batch_triplet_models(tmp_path):
+    """Triplet models route the batch stream through the codon-context
+    device path; results match the per-pair triplet engine."""
+    inp = _pairs_fasta(tmp_path, n=4)
+    out = tmp_path / "out.jsonl"
+    rc = main(["batch", str(inp), "-o", str(out), "-m", "tri-mg"])
+    assert rc == 0
+    rows = [json.loads(l) for l in out.read_text().splitlines()]
+    assert len(rows) == 4
+    import pytest
+
+    for r in rows:
+        aln = list(r["alignment"].values())
+        assert aln == ["CTCTGGATAGTG", "CT----ATAGTG"]
+        assert r["score"] == pytest.approx(9.316000938, abs=2e-3)
+
+
+def test_batch_triplet_bad_anc_reported(tmp_path):
+    # %3 violation and early stop codon -> per-pair error rows, stream goes on
+    p = tmp_path / "pairs.fasta"
+    p.write_text(
+        ">a\nAAAA\n>b\nAAA\n"
+        ">c\nTAAAAA\n>d\nAAA\n"
+        ">e\nCTCTGGATAGTG\n>f\nCTATAGTG\n"
+    )
+    out = tmp_path / "out.jsonl"
+    assert main(["batch", str(p), "-o", str(out), "-m", "dna"]) == 0
+    rows = [json.loads(l) for l in out.read_text().splitlines()]
+    assert "multiple of 3" in rows[0]["error"]
+    assert "stop codon" in rows[1]["error"]
+    assert rows[2]["alignment"]
