@@ -55,9 +55,10 @@ def marg_alignment(aln: AlignmentParams) -> bool:
     return True
 
 
-def _forward_mdi(enc_a, enc_b, aln):
-    """Run the Forward (log) wavefront on device and return the three state
-    matrices in (i, j) layout with the terminal-adjusted corner."""
+def _forward_diag(enc_a, enc_b, aln):
+    """Run the Forward (log) wavefront on device; return the diagonal-layout
+    state matrices [Dtot, C] (device arrays, b=0 slice) and the terminal-
+    adjusted corner values (cm, cd, ci) as floats."""
     import jax
     import jax.numpy as jnp
 
@@ -89,19 +90,31 @@ def _forward_mdi(enc_a, enc_b, aln):
             (cm, cd, ci), (Ms, Ds, Is) = wavefront(
                 *args, k=k, semiring="log", mode="forward"
             )
+    corners = (float(cm[0]), float(cd[0]), float(ci[0]))
+    return Ms[:, 0, :], Ds[:, 0, :], Is[:, 0, :], corners, dev
+
+
+def _forward_mdi(enc_a, enc_b, aln):
+    """Host (i, j)-layout state matrices with the terminal-adjusted corner
+    (the layout oracle.sampleback_mdi walks)."""
+    import jax
+
+    Ms, Ds, Is, corners, _ = _forward_diag(enc_a, enc_b, aln)
+    k = aln.gap.len
+    na, nb = len(enc_a), len(enc_b)
     Cc_full = nb + k
-    Ms = np.asarray(jax.device_get(Ms))[:, 0, :Cc_full]  # [Dtot, C]
-    Ds = np.asarray(jax.device_get(Ds))[:, 0, :Cc_full]
-    Is = np.asarray(jax.device_get(Is))[:, 0, :Cc_full]
+    Ms = np.asarray(jax.device_get(Ms))[:, :Cc_full]  # [Dtot, C]
+    Ds = np.asarray(jax.device_get(Ds))[:, :Cc_full]
+    Is = np.asarray(jax.device_get(Is))[:, :Cc_full]
     R, Cc = na + k, nb + k
     ii = np.arange(R)[:, None]
     jj = np.arange(Cc)[None, :]
     M = Ms[ii + jj, jj]
     D = Ds[ii + jj, jj]
     I = Is[ii + jj, jj]
-    M[R - 1, Cc - 1] = float(cm[0])
-    D[R - 1, Cc - 1] = float(cd[0])
-    I[R - 1, Cc - 1] = float(ci[0])
+    M[R - 1, Cc - 1] = corners[0]
+    D[R - 1, Cc - 1] = corners[1]
+    I[R - 1, Cc - 1] = corners[2]
     return M, D, I
 
 
@@ -140,20 +153,27 @@ def marg_sample(aln: AlignmentParams, sample_size: int, rng) -> None:
         stops = aln.data.stops
         n_cells = (len(enc_a) + aln.gap.len) * (len(enc_b) + aln.gap.len)
         if n_cells <= 250_000:
-            # small inputs: pure-Python oracle (bit-parity with reference)
+            # small inputs: pure-Python oracle (bit-parity with the
+            # reference's Lehmer64 f24 draw stream)
             work = oracle.forward_oracle(
                 enc_a, enc_b, aln.subst_matrix, aln.gap, "log", save_edges=True
             )
-            sample_one = lambda: oracle.sampleback(work, anc, des, aln.gap, rng)
-        else:
-            # large inputs: Forward DP on the accelerator, stochastic
-            # traceback on host over the 3 state matrices
-            M, D, I = _forward_mdi(enc_a, enc_b, aln)
-            sample_one = lambda: oracle.sampleback_mdi(
-                M, D, I, enc_a, enc_b, aln.subst_matrix, anc, des, aln.gap, rng
+            samples = (
+                oracle.sampleback(work, anc, des, aln.gap, rng)
+                for _ in range(sample_size)
             )
-        for i in range(sample_size):
-            s0, s1, score = sample_one()
+        else:
+            # large inputs: Forward DP on the accelerator, then ALL
+            # tracebacks sampled in parallel on device (threefry stream
+            # seeded from the Lehmer64 state — deterministic per seed)
+            from coati_tpu.align.sample_device import sample_batch_device
+
+            Ms, Ds, Is, corners, _ = _forward_diag(enc_a, enc_b, aln)
+            samples = sample_batch_device(
+                Ms, Ds, Is, corners, enc_a, enc_b, aln.subst_matrix,
+                anc, des, aln.gap, rng.u64(), sample_size,
+            )
+        for i, (s0, s1, score) in enumerate(samples):
             aln.data.seqs = [s0, s1]
             aln.data.score = score
             aln.data.stops = list(stops)

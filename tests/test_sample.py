@@ -63,3 +63,115 @@ def test_lehmer_f24_range():
     vals = [rng.f24() for _ in range(1000)]
     assert all(0.0 <= v < 1.0 for v in vals)
     assert abs(sum(vals) / len(vals) - 0.5) < 0.05
+
+
+# --- vectorized device sampling (align/sample_device.py) ----------------------
+def _mk_aln():
+    from coati_tpu import utils
+    from coati_tpu.structs import AlignmentParams
+
+    aln = AlignmentParams()
+    aln.model = "mar-mg"
+    utils.set_subst(aln)
+    return aln
+
+
+def test_sample_device_matches_host_distribution():
+    """N parallel threefry tracebacks reproduce the host sampler's
+    distribution and per-path scores (VERDICT round-1 item 4)."""
+    from collections import Counter
+
+    from coati_tpu.align import oracle
+    from coati_tpu.align.sample_device import sample_batch_device
+    from coati_tpu.driver import _forward_diag, _forward_mdi
+    from coati_tpu.rng import Lehmer64
+    from coati_tpu.utils import encode_marginal
+
+    aln = _mk_aln()
+    anc, des = "CTCTGGATAGTG", "CTATAGTG"
+    enc_a, enc_b = encode_marginal(anc, des)
+    N = 2000
+
+    Ms, Ds, Is, corners, _ = _forward_diag(enc_a, enc_b, aln)
+    dev = list(sample_batch_device(Ms, Ds, Is, corners, enc_a, enc_b,
+                                   aln.subst_matrix, anc, des, aln.gap,
+                                   42, N))
+    assert len(dev) == N
+
+    M, D, I = _forward_mdi(enc_a, enc_b, aln)
+    rng = Lehmer64()
+    host = [oracle.sampleback_mdi(M, D, I, enc_a, enc_b, aln.subst_matrix,
+                                  anc, des, aln.gap, rng) for _ in range(N)]
+
+    host_score = {(s0, s1): sc for s0, s1, sc in host}
+    for s0, s1, sc in dev:
+        assert len(s0) == len(s1)
+        assert s0.replace("-", "") == anc and s1.replace("-", "") == des
+        hs = host_score.get((s0, s1))
+        if hs is not None:  # same path -> same relative log-probability
+            assert sc == pytest.approx(hs, abs=1e-3)
+
+    cd = Counter((s0, s1) for s0, s1, _ in dev)
+    ch = Counter((s0, s1) for s0, s1, _ in host)
+    for key in set(cd) | set(ch):
+        assert abs(cd.get(key, 0) - ch.get(key, 0)) / N < 0.04
+
+
+def test_sample_device_deterministic_and_chunked():
+    from coati_tpu.align.sample_device import sample_batch_device
+    from coati_tpu.driver import _forward_diag
+    from coati_tpu.utils import encode_marginal
+
+    aln = _mk_aln()
+    anc, des = "CCCCCC", "CCCCCCCC"
+    enc_a, enc_b = encode_marginal(anc, des)
+    Ms, Ds, Is, corners, _ = _forward_diag(enc_a, enc_b, aln)
+
+    run = lambda n, chunk: [
+        x[:2] for x in sample_batch_device(
+            Ms, Ds, Is, corners, enc_a, enc_b, aln.subst_matrix,
+            anc, des, aln.gap, 7, n, chunk=chunk)
+    ]
+    a = run(60, 4096)
+    b = run(60, 4096)
+    assert a == b  # same seed -> same stream
+    c = run(60, 25)  # chunked calls keep one compiled shape, same results
+    assert len(c) == 60
+    for s0, s1 in c:
+        assert s0.replace("-", "") == anc and s1.replace("-", "") == des
+
+
+def test_marg_sample_large_input_routes_to_device(tmp_path, monkeypatch):
+    """Above the small-input threshold, marg_sample batches all tracebacks
+    through the device sampler; stream output stays a valid JSON array."""
+    import json
+
+    import coati_tpu.align.sample_device as sd
+    from coati_tpu.cli import main
+
+    calls = []
+    orig = sd.sample_batch_device
+
+    def spy(*args, **kw):
+        calls.append(1)
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(sd, "sample_batch_device", spy)
+
+    from coati_tpu.constants import CODONS61
+
+    rng = np.random.default_rng(5)
+    anc = "".join(rng.choice(np.array(CODONS61), size=170))
+    des = anc[:250] + anc[260:]
+    inp = tmp_path / "big.fasta"
+    inp.write_text(f">a\n{anc}\n>b\n{des}\n")
+    out = tmp_path / "s.json"
+    rc = main(["sample", str(inp), "-n", "8", "-s", "11",
+               "-o", str(out)])
+    assert rc == 0
+    arr = json.loads(out.read_text())
+    assert len(arr) == 8 and calls
+    for rec in arr:
+        s0, s1 = rec["alignment"].values()
+        assert s0.replace("-", "") == anc
+        assert s1.replace("-", "") == des
