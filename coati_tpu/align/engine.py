@@ -138,6 +138,9 @@ def ops_to_strings(ops_fwd, score, a_strs, b_strs, k):
 import os as _os
 
 PALLAS_BC = int(_os.environ.get("COATI_TPU_PALLAS_BC", "32"))
+# diagonals per Pallas grid step (amortizes per-step overhead; padding
+# diagonals are discarded). Bit-identical for any value (test_pallas.py).
+PALLAS_DU = int(_os.environ.get("COATI_TPU_PALLAS_DU", "1"))
 # scratch budget: (3*ring + 15 + 3) * bc * C * 4 bytes must fit VMEM
 PALLAS_MAX_C = 2816
 # descendants longer than this many slots route to the segmented two-pass
@@ -163,7 +166,8 @@ def _pallas_bc_for(C: int, want_bp: bool) -> int | None:
 
 
 def fused_align_ops_impl(aseq, bseq, la, lb, table32, gc, *, k, use_pallas,
-                         code_cols=tuple(range(15)), bc=PALLAS_BC):
+                         code_cols=tuple(range(15)), bc=PALLAS_BC,
+                         du=1):
     """Fused DP fill + on-device traceback — the per-device alignment step.
 
     Shared by the single-device jit (below) and the shard_map mesh path
@@ -179,7 +183,7 @@ def fused_align_ops_impl(aseq, bseq, la, lb, table32, gc, *, k, use_pallas,
 
         corners, bp = wavefront_pallas(
             aseq, bseq, la, lb, table32, gc, k=k, bc=bc,
-            code_cols=code_cols,
+            code_cols=code_cols, du=du,
         )
     else:
         corners, bp = wavefront_impl(
@@ -194,7 +198,7 @@ def fused_align_ops_impl(aseq, bseq, la, lb, table32, gc, *, k, use_pallas,
 # high latency: the packed bp stack never leaves the device, and only the
 # op sequences + scores are fetched.
 _align_step_jit = functools.partial(
-    jax.jit, static_argnames=("k", "use_pallas", "code_cols", "bc")
+    jax.jit, static_argnames=("k", "use_pallas", "code_cols", "bc", "du")
 )(fused_align_ops_impl)
 
 
@@ -228,7 +232,7 @@ def _align_step(aseq, bseq, la, lb, table32, gc, k, dev, fetch=True):
         jnp.asarray(aseq), jnp.asarray(bseq), jnp.asarray(la),
         jnp.asarray(lb), jnp.asarray(table32), jnp.asarray(gc),
         k=k, use_pallas=use_pallas, code_cols=code_cols,
-        bc=bc if use_pallas else PALLAS_BC,
+        bc=bc if use_pallas else PALLAS_BC, du=PALLAS_DU,
     )
     if pad_b:
         ops = ops[:, :B]

@@ -67,16 +67,17 @@ def _lse(a, b):
 
 
 def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
-                 want_bp: bool, nc: int, mode: str = "viterbi"):
+                 want_bp: bool, nc: int, mode: str = "viterbi",
+                 du: int = 1, n_steps: int = 0):
     def kernel(
-        grow_ref,  # [1, BC, nc] table row for a[d-k] (auto-pipelined)
+        grow_ref,  # [du, BC, nc] table rows for a[d-k] (pre-shifted, padded)
         ohb_ref,  # [nc, BC, C] f32 one-hot of descendant codes (resident)
         cd_ref,  # [BC, C] int32 per-pair corner diagonal (broadcast)
         cj_ref,  # [BC, C] int32 per-pair corner slot (broadcast)
-        body_ref,  # [1, 1, C] f32 1.0 where body cell on this diagonal
-        margM_ref,  # [1, 1, C] f32 margin-or-LOWEST for M on this diagonal
-        margD_ref,  # [1, 1, C] f32
-        margI_ref,  # [1, 1, C] f32
+        body_ref,  # [du, 1, C] f32 1.0 where body cell on these diagonals
+        margM_ref,  # [du, 1, C] f32 margin-or-LOWEST for M on these diagonals
+        margD_ref,  # [du, 1, C] f32
+        margI_ref,  # [du, 1, C] f32
         gc_ref,  # [1, 4] f32 gap constants in SMEM
         *refs,
     ):
@@ -89,7 +90,7 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
         else:
             corner_ref, Mr_ref, Dr_ref, Ir_ref, gwin_ref, cap_ref = refs
         plus2 = _lse if mode == "forward" else jnp.maximum
-        d = pl.program_id(1)
+        g = pl.program_id(1)
         ng = gc_ref[0, 0]
         gs = gc_ref[0, 1]
         go = gc_ref[0, 2]
@@ -97,7 +98,7 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
         gek1 = ge * jnp.float32(k - 1)
         gek = ge * jnp.float32(k)
 
-        @pl.when(d == 0)
+        @pl.when(g == 0)
         def _init():
             cap_ref[...] = jnp.full((3, BC, C), LOWEST, jnp.float32)
             gwin_ref[...] = jnp.zeros((nc, BC, C), jnp.float32)
@@ -108,96 +109,105 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
             Dr_ref[...] = low
             Ir_ref[...] = low
 
-        # --- advance emission window: Gwin[c, :, j] = table[a[d-k-j], c] ---
-        fresh = grow_ref[0]  # [BC, nc]
-        win = pltpu.roll(gwin_ref[...], 1, axis=2)
-        j3 = jax.lax.broadcasted_iota(jnp.int32, (nc, BC, C), 2)
-        fresh_t = jnp.transpose(fresh, (1, 0))[:, :, None]  # [nc, BC, 1]
-        valid_fresh = jnp.logical_and(d - k >= 0, d - k < NA)
-        fresh_b = jnp.where(valid_fresh, fresh_t, 0.0)
-        win = jnp.where(j3 == 0, fresh_b, win)
-        gwin_ref[...] = win
-
-        # --- emission: nc multiply-adds against resident one-hot masks -----
-        oh = ohb_ref[...]
-        sub = oh[0] * win[0]
-        for c in range(1, nc):
-            sub = sub + oh[c] * win[c]
-
-        # --- ring reads -----------------------------------------------------
-        def ring_at(ref, dd):
-            idx = jax.lax.rem(dd + ring * 4, ring)
-            return ref[pl.ds(idx, 1)][0]
-
-        p2M = ring_at(Mr_ref, d - 2)
-        p2D = ring_at(Dr_ref, d - 2)
-        p2I = ring_at(Ir_ref, d - 2)
-        pkM = ring_at(Mr_ref, d - k)
-        pkD = ring_at(Dr_ref, d - k)
-        pkI = ring_at(Ir_ref, d - k)
-
-        p2Ms = _shift_right(p2M, 1)
-        p2Ds = _shift_right(p2D, 1)
-        p2Is = _shift_right(p2I, 1)
-        pkMs = _shift_right(pkM, k)
-        pkIs = _shift_right(pkI, k)
-
-        # --- recurrence (f32 op order == align_pair.cc:98-124) -------------
-        # shared pre-emission sums double as backpointer comparands below
-        tmm = (p2Ms + ng) + ng
-        tdm = p2Ds + gs
-        tim = (p2Is + gs) + ng
-        tmd = (pkM + ng) + go
-        tid = (pkI + gs) + go
-        tmi = pkMs + go
-        m2m = tmm + sub
-        d2m = tdm + sub
-        i2m = tim + sub
-        m2d = tmd + gek1
-        i2d = tid + gek1
-        d2d = pkD + gek
-        m2i = tmi + gek1
-        i2i = pkIs + gek
-
-        M = plus2(plus2(m2m, d2m), i2m)
-        D = plus2(plus2(m2d, d2d), i2d)
-        I = plus2(m2i, i2i)
-
-        # --- body/margin select (streamed per diagonal) ---------------------
-        body = body_ref[0, 0] > 0.5  # [C]
-        M = jnp.where(body[None, :], M, margM_ref[0, 0][None, :])
-        D = jnp.where(body[None, :], D, margD_ref[0, 0][None, :])
-        I = jnp.where(body[None, :], I, margI_ref[0, 0][None, :])
-
-        # --- ring write -----------------------------------------------------
-        slot = jax.lax.rem(d, ring)
-        Mr_ref[pl.ds(slot, 1)] = M[None]
-        Dr_ref[pl.ds(slot, 1)] = D[None]
-        Ir_ref[pl.ds(slot, 1)] = I[None]
-
-        # --- forward: stream the full diagonals out --------------------------
-        if mode == "forward":
-            Mout_ref[0] = M
-            Dout_ref[0] = D
-            Iout_ref[0] = I
-
-        # --- backpointers (traceback-form comparisons) ----------------------
-        if want_bp:
-            bp_m = _argmax_mdi_i32(tmm, tdm, tim)
-            bp_d = _argmax_mdi_i32(tmd, pkD + ge, tid)
-            bp_i = jnp.where(tmi > pkIs + ge, 0, 2)
-            bp_ref[0] = (bp_m | (bp_d << 2) | (bp_i << 4)).astype(jnp.uint8)
-
-        # --- corner capture -------------------------------------------------
         j_i = jax.lax.broadcasted_iota(jnp.int32, (BC, C), 1)
-        sel = (d == cd_ref[...]) & (j_i == cj_ref[...])
-        cap = cap_ref[...]
-        cap0 = jnp.where(sel, M, cap[0])
-        cap1 = jnp.where(sel, D, cap[1])
-        cap2 = jnp.where(sel, I, cap[2])
+        j3 = jax.lax.broadcasted_iota(jnp.int32, (nc, BC, C), 2)
+        win = gwin_ref[...]
+        cap0, cap1, cap2 = cap_ref[0], cap_ref[1], cap_ref[2]
+
+        # du diagonals per grid step: amortizes the per-step fixed work
+        # (index maps, pipeline turnaround) over du full-width row updates
+        for t in range(du):
+            d = g * du + t
+
+            # --- advance emission window: Gwin[c,:,j] = table[a[d-k-j], c]
+            # (G is pre-shifted by k and zero-padded on the XLA side)
+            fresh = grow_ref[t]  # [BC, nc]
+            win = pltpu.roll(win, 1, axis=2)
+            fresh_t = jnp.transpose(fresh, (1, 0))[:, :, None]  # [nc, BC, 1]
+            win = jnp.where(j3 == 0, fresh_t, win)
+
+            # --- emission: nc multiply-adds against resident one-hot masks
+            oh = ohb_ref[...]
+            sub = oh[0] * win[0]
+            for c in range(1, nc):
+                sub = sub + oh[c] * win[c]
+
+            # --- ring reads -------------------------------------------------
+            def ring_at(ref, dd):
+                idx = jax.lax.rem(dd + ring * 4, ring)
+                return ref[pl.ds(idx, 1)][0]
+
+            p2M = ring_at(Mr_ref, d - 2)
+            p2D = ring_at(Dr_ref, d - 2)
+            p2I = ring_at(Ir_ref, d - 2)
+            pkM = ring_at(Mr_ref, d - k)
+            pkD = ring_at(Dr_ref, d - k)
+            pkI = ring_at(Ir_ref, d - k)
+
+            p2Ms = _shift_right(p2M, 1)
+            p2Ds = _shift_right(p2D, 1)
+            p2Is = _shift_right(p2I, 1)
+            pkMs = _shift_right(pkM, k)
+            pkIs = _shift_right(pkI, k)
+
+            # --- recurrence (f32 op order == align_pair.cc:98-124) ---------
+            # shared pre-emission sums double as backpointer comparands below
+            tmm = (p2Ms + ng) + ng
+            tdm = p2Ds + gs
+            tim = (p2Is + gs) + ng
+            tmd = (pkM + ng) + go
+            tid = (pkI + gs) + go
+            tmi = pkMs + go
+            m2m = tmm + sub
+            d2m = tdm + sub
+            i2m = tim + sub
+            m2d = tmd + gek1
+            i2d = tid + gek1
+            d2d = pkD + gek
+            m2i = tmi + gek1
+            i2i = pkIs + gek
+
+            M = plus2(plus2(m2m, d2m), i2m)
+            D = plus2(plus2(m2d, d2d), i2d)
+            I = plus2(m2i, i2i)
+
+            # --- body/margin select (streamed per diagonal) -----------------
+            body = body_ref[t, 0] > 0.5  # [C]
+            M = jnp.where(body[None, :], M, margM_ref[t, 0][None, :])
+            D = jnp.where(body[None, :], D, margD_ref[t, 0][None, :])
+            I = jnp.where(body[None, :], I, margI_ref[t, 0][None, :])
+
+            # --- ring write --------------------------------------------------
+            slot = jax.lax.rem(d, ring)
+            Mr_ref[pl.ds(slot, 1)] = M[None]
+            Dr_ref[pl.ds(slot, 1)] = D[None]
+            Ir_ref[pl.ds(slot, 1)] = I[None]
+
+            # --- forward: stream the full diagonals out ----------------------
+            if mode == "forward":
+                Mout_ref[t] = M
+                Dout_ref[t] = D
+                Iout_ref[t] = I
+
+            # --- backpointers (traceback-form comparisons) -------------------
+            if want_bp:
+                bp_m = _argmax_mdi_i32(tmm, tdm, tim)
+                bp_d = _argmax_mdi_i32(tmd, pkD + ge, tid)
+                bp_i = jnp.where(tmi > pkIs + ge, 0, 2)
+                bp_ref[t] = (bp_m | (bp_d << 2) | (bp_i << 4)).astype(
+                    jnp.uint8
+                )
+
+            # --- corner capture ----------------------------------------------
+            sel = (d == cd_ref[...]) & (j_i == cj_ref[...])
+            cap0 = jnp.where(sel, M, cap0)
+            cap1 = jnp.where(sel, D, cap1)
+            cap2 = jnp.where(sel, I, cap2)
+
+        gwin_ref[...] = win
         cap_ref[...] = jnp.stack([cap0, cap1, cap2], axis=0)
 
-        @pl.when(d == Dtot - 1)
+        @pl.when(g == n_steps - 1)
         def _fin():
             red = jnp.max(cap_ref[...], axis=2)  # [3, BC]
             out = jnp.broadcast_to(red[:, :, None], (3, BC, 128))
@@ -230,12 +240,14 @@ def _diag_tables(k, NA, C, Dtot, gap_consts):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "bc", "want_bp", "interpret", "code_cols", "mode"),
+    static_argnames=("k", "bc", "want_bp", "interpret", "code_cols", "mode",
+                     "du"),
 )
 def wavefront_pallas(
     aseq, bseq, lens_a, lens_b, table, gap_consts, *, k: int,
     bc: int = 32, want_bp: bool = True, interpret: bool = False,
     code_cols: tuple = tuple(range(15)), mode: str = "viterbi",
+    du: int = 1,
 ):
     """Viterbi/Forward wavefront via Pallas. mode='viterbi' returns
     ((cM, cD, cI), bp) like align.wavefront.wavefront(mode='viterbi'); bp is
@@ -246,20 +258,27 @@ def wavefront_pallas(
     code_cols: the nucleotide-code columns actually used by this batch's
     descendants (e.g. (0,1,2,3) for pure ACGT, (0,1,2,3,14) with N). The
     emission window and FMA chain shrink accordingly — ambiguity codes are
-    rare in real data and cost 3x when present."""
+    rare in real data and cost 3x when present.
+
+    du: diagonals computed per grid step (diagonal count padded up to a
+    multiple; padding diagonals land on body=0 rows and are discarded)."""
     B, NA = aseq.shape
     NB = bseq.shape[1]
     # pad slots to the 128-lane tile
     C = ((NB + k + 127) // 128) * 128
     R = NA + k
     Dtot = R + (NB + k) - 1
+    Dtot_p = -(-Dtot // du) * du
+    n_steps = Dtot_p // du
     ring = max(k, 2) + 1
     assert B % bc == 0, (B, bc)
     nc = len(code_cols)
 
-    # G rows: table[a[t]][code_cols] for t in [0, NA), laid out [NA, B, nc]
+    # G rows shifted into diagonal space: G_shift[d] = table[a[d-k]] for
+    # d in [k, k+NA), zeros outside — removes the in-kernel validity select
     table_sub = table[:, jnp.asarray(code_cols)]
     G = jnp.transpose(jnp.take(table_sub, aseq, axis=0), (1, 0, 2))
+    G = jnp.pad(G, ((k, Dtot_p - k - NA), (0, 0), (0, 0)))
 
     # remap descendant codes into the compact column space
     lut = np.full(16, 99, np.int32)
@@ -279,49 +298,54 @@ def wavefront_pallas(
     body, mM, mD, mI = (
         x[:, None, :] for x in _diag_tables(k, NA, C, Dtot, gap_consts)
     )
+    pad_d = ((0, Dtot_p - Dtot), (0, 0), (0, 0))
+    body = jnp.pad(body, pad_d)  # padding diagonals: body=0 -> margins
+    mM = jnp.pad(mM, pad_d, constant_values=LOWEST)
+    mD = jnp.pad(mD, pad_d, constant_values=LOWEST)
+    mI = jnp.pad(mI, pad_d, constant_values=LOWEST)
 
     if mode == "forward":
         want_bp = False
-    kernel = _make_kernel(k, NA, C, bc, Dtot, ring, want_bp, nc, mode)
-    grid = (B // bc, Dtot)
+    kernel = _make_kernel(k, NA, C, bc, Dtot, ring, want_bp, nc, mode,
+                          du=du, n_steps=n_steps)
+    grid = (B // bc, n_steps)
 
     in_specs = [
-        pl.BlockSpec(
-            (1, bc, nc),
-            lambda bi, d: (jnp.clip(d - k, 0, NA - 1), bi, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec((nc, bc, C), lambda bi, d: (0, bi, 0),
+        pl.BlockSpec((du, bc, nc), lambda bi, g: (g, bi, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((bc, C), lambda bi, d: (bi, 0),
+        pl.BlockSpec((nc, bc, C), lambda bi, g: (0, bi, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((bc, C), lambda bi, d: (bi, 0),
+        pl.BlockSpec((bc, C), lambda bi, g: (bi, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, C), lambda bi, d: (d, 0, 0),
+        pl.BlockSpec((bc, C), lambda bi, g: (bi, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, C), lambda bi, d: (d, 0, 0),
+        pl.BlockSpec((du, 1, C), lambda bi, g: (g, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, C), lambda bi, d: (d, 0, 0),
+        pl.BlockSpec((du, 1, C), lambda bi, g: (g, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, C), lambda bi, d: (d, 0, 0),
+        pl.BlockSpec((du, 1, C), lambda bi, g: (g, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 4), lambda bi, d: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((du, 1, C), lambda bi, g: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4), lambda bi, g: (0, 0), memory_space=pltpu.SMEM),
     ]
     out_specs = []
     out_shape = []
     if mode == "forward":
         for _ in range(3):
             out_specs.append(
-                pl.BlockSpec((1, bc, C), lambda bi, d: (d, bi, 0),
+                pl.BlockSpec((du, bc, C), lambda bi, g: (g, bi, 0),
                              memory_space=pltpu.VMEM)
             )
-            out_shape.append(jax.ShapeDtypeStruct((Dtot, B, C), jnp.float32))
+            out_shape.append(
+                jax.ShapeDtypeStruct((Dtot_p, B, C), jnp.float32)
+            )
     if want_bp:
         out_specs.append(
-            pl.BlockSpec((1, bc, C), lambda bi, d: (d, bi, 0),
+            pl.BlockSpec((du, bc, C), lambda bi, g: (g, bi, 0),
                          memory_space=pltpu.VMEM)
         )
-        out_shape.append(jax.ShapeDtypeStruct((Dtot, B, C), jnp.uint8))
+        out_shape.append(jax.ShapeDtypeStruct((Dtot_p, B, C), jnp.uint8))
     out_specs.append(
         pl.BlockSpec((8, bc, 128), lambda bi, d: (0, bi, 0),
                      memory_space=pltpu.VMEM)

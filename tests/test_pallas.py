@@ -181,3 +181,54 @@ def test_pallas_forward_matches_xla(mg94_table, k):
         x1 = np.asarray(x1)
         x2 = np.asarray(x2)[: x1.shape[0], :, :C1]
         np.testing.assert_allclose(x1, x2, atol=1e-4)
+
+
+@pytest.mark.parametrize("k,du", [(1, 2), (1, 4), (3, 2), (3, 5)])
+def test_pallas_multidiag_matches_single(mg94_table, k, du):
+    """du>1 (multiple diagonals per grid step) is bit-identical to du=1:
+    same corners, same valid-region backpointers."""
+    rng = np.random.default_rng(31 + du)
+    B, NA, NB = 32, 48, 54
+    gap = GapParams(len=k)
+    gc = gap_consts_array(gap)
+    aseq = rng.integers(0, 183, (B, NA)).astype(np.int32)
+    bseq = rng.integers(0, 15, (B, NB)).astype(np.int32)
+    la = np.full(B, NA - (NA % (3 * k)) if NA % (3 * k) else NA, np.int32)
+    lb = np.full(B, NB - (NB % k) if NB % k else NB, np.int32)
+    args = [jnp.asarray(x) for x in (aseq, bseq, la, lb, mg94_table, gc)]
+
+    (cm1, cd1, ci1), bp1 = wavefront_pallas(*args, k=k, bc=32, interpret=True)
+    (cm2, cd2, ci2), bp2 = wavefront_pallas(
+        *args, k=k, bc=32, interpret=True, du=du
+    )
+    np.testing.assert_array_equal(np.asarray(cm1), np.asarray(cm2))
+    np.testing.assert_array_equal(np.asarray(cd1), np.asarray(cd2))
+    np.testing.assert_array_equal(np.asarray(ci1), np.asarray(ci2))
+    bp1 = np.asarray(bp1)
+    bp2 = np.asarray(bp2)
+    np.testing.assert_array_equal(bp1, bp2[: bp1.shape[0]])
+
+
+def test_pallas_multidiag_forward(mg94_table):
+    """Forward mode with du>1: streamed diagonals identical to du=1."""
+    rng = np.random.default_rng(77)
+    B, NA, NB = 32, 24, 30
+    gap = GapParams()
+    gc = gap_consts_array(gap)
+    aseq = rng.integers(0, 183, (B, NA)).astype(np.int32)
+    bseq = rng.integers(0, 15, (B, NB)).astype(np.int32)
+    la = np.full(B, NA, np.int32)
+    lb = np.full(B, NB, np.int32)
+    args = [jnp.asarray(x) for x in (aseq, bseq, la, lb, mg94_table, gc)]
+
+    (cm1, _, _), (Ms1, Ds1, Is1) = wavefront_pallas(
+        *args, k=1, bc=32, interpret=True, mode="forward"
+    )
+    (cm2, _, _), (Ms2, Ds2, Is2) = wavefront_pallas(
+        *args, k=1, bc=32, interpret=True, mode="forward", du=3
+    )
+    np.testing.assert_array_equal(np.asarray(cm1), np.asarray(cm2))
+    D = Ms1.shape[0]
+    np.testing.assert_array_equal(np.asarray(Ms1), np.asarray(Ms2)[:D])
+    np.testing.assert_array_equal(np.asarray(Ds1), np.asarray(Ds2)[:D])
+    np.testing.assert_array_equal(np.asarray(Is1), np.asarray(Is2)[:D])
