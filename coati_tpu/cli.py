@@ -239,15 +239,13 @@ VERBS = {
 }
 
 
-def _configure_platform(argv) -> list:
-    """Pick the JAX platform before any backend initializes.
+# inputs above this size amortize remote-TPU init latency (bytes)
+BIG_INPUT_BYTES = 512 * 1024
 
-    Initializing a remote/tunneled TPU backend can cost minutes; the CLI
-    aligns one input per invocation, so it defaults to the CPU backend
-    unless --platform tpu (or COATI_TPU_FORCE_PLATFORM) asks for the
-    accelerator, or the input file is large enough to amortize it (>512 KiB).
-    Batch/bench users drive the engine API from a single warm process.
-    """
+
+def _resolve_platform(argv):
+    """Parse/strip --platform and decide the backend. Pure: returns
+    (platform in {"cpu", "tpu", "default"}, argv-without-the-flag)."""
     import os
 
     platform = os.environ.get("COATI_TPU_FORCE_PLATFORM", "auto") or "auto"
@@ -270,11 +268,25 @@ def _configure_platform(argv) -> list:
         for a in out[1:]:
             if not a.startswith("-") and os.path.isfile(a):
                 try:
-                    big_input = big_input or os.path.getsize(a) > 512 * 1024
+                    big_input = big_input or (
+                        os.path.getsize(a) > BIG_INPUT_BYTES
+                    )
                 except OSError:
                     pass
         platform = "cpu" if not big_input else "default"
+    return platform, out
 
+
+def _configure_platform(argv) -> list:
+    """Pick the JAX platform before any backend initializes.
+
+    Initializing a remote/tunneled TPU backend can cost minutes; the CLI
+    aligns one input per invocation, so it defaults to the CPU backend
+    unless --platform tpu (or COATI_TPU_FORCE_PLATFORM) asks for the
+    accelerator, or the input file is large enough to amortize it (>512 KiB).
+    Batch/bench users drive the engine API from a single warm process.
+    """
+    platform, out = _resolve_platform(argv)
     if platform == "cpu":
         try:
             import jax

@@ -127,3 +127,46 @@ def viterbi_bp(enc_a, enc_b, table, gap):
                                  np.float32(gap.open), np.float32(gap.extend),
                                  k, bp, ctypes.byref(state))
     return float(score), bp, int(state.value)
+
+
+def viterbi_align(enc_a, enc_b, a_str, b_str, gap, table):
+    """Full native alignment: C++ DP + packed-bp walk -> aligned strings.
+
+    Independent single-thread reimplementation of the reference pipeline
+    (align_pair.cc:55-139 fill + :141-239 traceback); used as the string-
+    level truth for long-pair parity tests where the Python oracle is too
+    slow. Returns (seq0, seq1, score)."""
+    score, bp, st = viterbi_bp(enc_a, enc_b, table, gap)
+    k = int(gap.len)
+    i, j = len(enc_a) + k - 1, len(enc_b) + k - 1
+    s0, s1 = [], []
+    ai, bi = len(a_str), len(b_str)
+    while i > k - 1 or j > k - 1:
+        if i == k - 1:
+            st = 2
+        elif j == k - 1:
+            st = 1
+        if st == 0:
+            s0.append(a_str[ai - 1])
+            s1.append(b_str[bi - 1])
+            ai -= 1
+            bi -= 1
+            nxt = bp[i, j] & 3
+            i -= 1
+            j -= 1
+        elif st == 1:
+            for _ in range(k):
+                s0.append(a_str[ai - 1])
+                s1.append("-")
+                ai -= 1
+            nxt = (bp[i, j] >> 2) & 3
+            i -= k
+        else:
+            for _ in range(k):
+                s0.append("-")
+                s1.append(b_str[bi - 1])
+                bi -= 1
+            nxt = (bp[i, j] >> 4) & 3
+            j -= k
+        st = int(nxt)
+    return "".join(reversed(s0)), "".join(reversed(s1)), float(score)

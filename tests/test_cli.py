@@ -206,3 +206,45 @@ def test_user_rate_matrix(tmp_path):
     assert (tmp_path / "out.fasta").read_text() == (
         ">1\nCTCTGGATAGTG\n>2\nCT----ATAGTG\n"
     )
+
+
+# --- platform / device-selection heuristics (engine + CLI) --------------------
+def test_resolve_platform_flag_forms(tmp_path, monkeypatch):
+    from coati_tpu.cli import _resolve_platform
+
+    monkeypatch.delenv("COATI_TPU_FORCE_PLATFORM", raising=False)
+    p, out = _resolve_platform(["alignpair", "x.fa", "--platform", "tpu"])
+    assert p == "tpu" and out == ["alignpair", "x.fa"]
+    p, out = _resolve_platform(["alignpair", "--platform=cpu", "x.fa"])
+    assert p == "cpu" and out == ["alignpair", "x.fa"]
+
+
+def test_resolve_platform_auto_by_input_size(tmp_path, monkeypatch):
+    from coati_tpu.cli import BIG_INPUT_BYTES, _resolve_platform
+
+    monkeypatch.delenv("COATI_TPU_FORCE_PLATFORM", raising=False)
+    small = tmp_path / "small.fa"
+    small.write_text(">a\nACGT\n")
+    p, _ = _resolve_platform(["alignpair", str(small)])
+    assert p == "cpu"
+
+    big = tmp_path / "big.fa"
+    big.write_text(">a\n" + "A" * (BIG_INPUT_BYTES + 10) + "\n")
+    p, _ = _resolve_platform(["alignpair", str(big)])
+    assert p == "default"
+
+    monkeypatch.setenv("COATI_TPU_FORCE_PLATFORM", "tpu")
+    p, _ = _resolve_platform(["alignpair", str(small)])
+    assert p == "tpu"
+
+
+def test_engine_device_selection(monkeypatch):
+    from coati_tpu.align.engine import SMALL_CALL_CELLS, _devices_for
+
+    monkeypatch.delenv("COATI_TPU_FORCE_PLATFORM", raising=False)
+    small = _devices_for(SMALL_CALL_CELLS - 1)
+    assert small and all(d.platform == "cpu" for d in small)
+    big = _devices_for(SMALL_CALL_CELLS + 1)
+    assert big  # same virtual CPU mesh here, but the path must not raise
+    monkeypatch.setenv("COATI_TPU_MAX_DEVICES", "1")
+    assert len(_devices_for(SMALL_CALL_CELLS + 1)) == 1

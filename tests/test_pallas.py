@@ -13,7 +13,9 @@ from coati_tpu.kernels.wavefront_pallas import wavefront_pallas
 from coati_tpu.structs import GapParams
 
 
-@pytest.mark.parametrize("k,NA,NB", [(1, 48, 48), (3, 48, 48), (1, 96, 60)])
+@pytest.mark.parametrize(
+    "k,NA,NB", [(1, 48, 48), (3, 48, 48), (1, 96, 60), (5, 60, 60)]
+)
 def test_pallas_matches_xla(mg94_table, k, NA, NB):
     rng = np.random.default_rng(17 + k)
     B = 32
