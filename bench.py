@@ -98,7 +98,7 @@ def main() -> int:
 
     base_rate = None
     if native.available():
-        sample_idx = rng.choice(len(pairs), size=min(24, len(pairs)),
+        sample_idx = rng.choice(len(pairs), size=min(96, len(pairs)),
                                 replace=False)
         t0 = time.time()
         cells = 0

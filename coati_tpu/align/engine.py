@@ -140,7 +140,15 @@ import os as _os
 PALLAS_BC = int(_os.environ.get("COATI_TPU_PALLAS_BC", "32"))
 # diagonals per Pallas grid step (amortizes per-step overhead; padding
 # diagonals are discarded). Bit-identical for any value (test_pallas.py).
-PALLAS_DU = int(_os.environ.get("COATI_TPU_PALLAS_DU", "1"))
+# Measured on v5e (tools/tune_kernel.py): du=8 is +15-20% on short buckets
+# (C<=512), flat on long ones; du*bc*C above ~360 KB fails to compile.
+PALLAS_DU = int(_os.environ.get("COATI_TPU_PALLAS_DU", "8"))
+_DU_VMEM_SLOTS = 32 * 4 * 2816  # proven envelope: bc=32, C=2816, du=4
+
+
+def _du_for(C: int, bc: int) -> int:
+    """Diagonals per grid step for slot width C and chunk width bc."""
+    return max(1, min(PALLAS_DU, _DU_VMEM_SLOTS // (bc * C)))
 # scratch budget: (3*ring + 15 + 3) * bc * C * 4 bytes must fit VMEM
 PALLAS_MAX_C = 2816
 # descendants longer than this many slots route to the segmented two-pass
@@ -232,7 +240,8 @@ def _align_step(aseq, bseq, la, lb, table32, gc, k, dev, fetch=True):
         jnp.asarray(aseq), jnp.asarray(bseq), jnp.asarray(la),
         jnp.asarray(lb), jnp.asarray(table32), jnp.asarray(gc),
         k=k, use_pallas=use_pallas, code_cols=code_cols,
-        bc=bc if use_pallas else PALLAS_BC, du=PALLAS_DU,
+        bc=bc if use_pallas else PALLAS_BC,
+        du=_du_for(C, bc) if use_pallas else 1,
     )
     if pad_b:
         ops = ops[:, :B]

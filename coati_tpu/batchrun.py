@@ -198,6 +198,10 @@ def cmd_batch(argv) -> int:
     p.add_argument("-w", "--omega", type=float, default=0.2)
     p.add_argument("--trace-dir", default="",
                    help="Capture a jax.profiler trace into this directory")
+    p.add_argument("--multihost", action="store_true",
+                   help="Pod-slice mode: init jax.distributed, align only "
+                   "this host's shard of the pair stream, suffix outputs "
+                   "with the process index")
     args = p.parse_args(argv)
 
     aln = AlignmentParams()
@@ -211,6 +215,23 @@ def cmd_batch(argv) -> int:
     from coati_tpu.profiling import ThroughputMeter, trace
 
     pairs = read_pairs_fasta(args.input)
+    if args.multihost:
+        # each host aligns a contiguous shard; result collation stays
+        # host-local (SURVEY section 2.3 P3 / parallel/multihost.py)
+        import jax
+
+        from coati_tpu.parallel.multihost import (
+            host_shard,
+            init_distributed,
+        )
+
+        init_distributed()
+        pairs = host_shard(pairs)
+        pidx = jax.process_index()
+        if args.output:
+            args.output = f"{args.output}.{pidx}"
+        if args.manifest:
+            args.manifest = f"{args.manifest}.{pidx}"
     out = open(args.output, "w" if not args.manifest else "a") \
         if args.output else sys.stdout
     meter = ThroughputMeter()

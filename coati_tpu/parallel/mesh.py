@@ -94,10 +94,11 @@ def sharded_viterbi_scores(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "mesh", "use_pallas", "code_cols", "bc"),
+    static_argnames=("k", "mesh", "use_pallas", "code_cols", "bc", "du"),
 )
 def sharded_align_step(aseq, bseq, lens_a, lens_b, table, gc, *, k, mesh,
-                       use_pallas=False, code_cols=tuple(range(15)), bc=8):
+                       use_pallas=False, code_cols=tuple(range(15)), bc=8,
+                       du=1):
     """Full data-parallel alignment step: DP fill + on-device traceback walk.
 
     Returns (ops [steps, B] int8 backward-ordered, scores [B]) with the
@@ -109,7 +110,7 @@ def sharded_align_step(aseq, bseq, lens_a, lens_b, table, gc, *, k, mesh,
     def local(aseq, bseq, la, lb, table, gc):
         return fused_align_ops_impl(
             aseq, bseq, la, lb, table, gc,
-            k=k, use_pallas=use_pallas, code_cols=code_cols, bc=bc,
+            k=k, use_pallas=use_pallas, code_cols=code_cols, bc=bc, du=du,
         )
 
     return jax.shard_map(
@@ -169,9 +170,12 @@ def sharded_viterbi_align_batch(
         jax.device_put(jnp.asarray(table32), rep),
         jax.device_put(jnp.asarray(gc), rep),
     )
+    from coati_tpu.align.engine import _du_for
+
     ops_d, score_d = sharded_align_step(
         *args, k=k, mesh=mesh, use_pallas=use_pallas,
         bc=bc if use_pallas else 8,
+        du=_du_for(C, bc) if use_pallas else 1,
     )
     ops = np.asarray(jax.device_get(ops_d))[::-1, :n]
     score = np.asarray(jax.device_get(score_d))[:n]

@@ -89,3 +89,16 @@ def test_batch_triplet_bad_anc_reported(tmp_path):
     assert "multiple of 3" in rows[0]["error"]
     assert "stop codon" in rows[1]["error"]
     assert rows[2]["alignment"]
+
+
+def test_batch_multihost_single_process(tmp_path):
+    """--multihost on one process: jax.distributed init degrades to no-op,
+    the shard is the whole stream, outputs get the process-index suffix."""
+    inp = _pairs_fasta(tmp_path, n=4)
+    out = tmp_path / "out.jsonl"
+    rc = main(["batch", str(inp), "-o", str(out), "--multihost"])
+    assert rc == 0
+    sharded = tmp_path / "out.jsonl.0"
+    assert sharded.exists()
+    rows = [json.loads(l) for l in sharded.read_text().splitlines()]
+    assert len(rows) == 4
