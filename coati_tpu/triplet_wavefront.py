@@ -34,6 +34,13 @@ from coati_tpu import constants as C
 
 NEG = np.float32(-1.0e30)
 
+import os as _os
+
+# Pallas triplet-forward envelope: chunk width and max padded slot count
+# (VMEM: the resident emission block is 3 * 64 * bc * C * 4 bytes)
+TRI_PALLAS_BC = int(_os.environ.get("COATI_TPU_TRI_BC", "4"))
+TRI_PALLAS_MAX_C = int(_os.environ.get("COATI_TPU_TRI_MAX_C", "1024"))
+
 
 def _max3(a, b, c):
     return jnp.maximum(jnp.maximum(a, b), c)
@@ -110,30 +117,40 @@ def _triplet_rows(anc_cods, des_codes, logP, ins_emit, match_emit, cnuc_oh,
         Mc = jnp.max(Mp, axis=1)
         Dc = jnp.max(Dp, axis=1)
         Ic = jnp.max(Ip, axis=1)
-        return (Mc, Dc, Ic), jnp.stack([Mc, Dc, Ic], axis=0)
+        amax = jnp.stack([
+            jnp.argmax(Mp, axis=1),
+            jnp.argmax(Dp, axis=1),
+            jnp.argmax(Ip, axis=1),
+        ], axis=0).astype(jnp.int32)  # [3, B, Cc] lane attaining the max
+        return (Mc, Dc, Ic), (jnp.stack([Mc, Dc, Ic], axis=0), amax)
 
     init = (M0[:, 0], D0[:, 0], I0[:, 0])
-    _, ys = jax.lax.scan(step, init, jnp.arange(n_cod, dtype=jnp.int32))
+    _, (ys, amax) = jax.lax.scan(step, init, jnp.arange(n_cod, dtype=jnp.int32))
     b0 = jnp.stack(init, axis=0)[None]  # [1, 3, B, Cc]
-    return jnp.concatenate([b0, ys], axis=0)
+    a0 = jnp.zeros((1, 3, B, Cc), jnp.int32)  # row 0: never lane-bound
+    return (jnp.concatenate([b0, ys], axis=0),
+            jnp.concatenate([a0, amax], axis=0))
 
 
 @functools.partial(jax.jit, static_argnames=("n_cod",))
-def _triplet_traceback(grid, anc_cods, des_codes, lens_t, lens_m, logP,
-                       ins_emit, match_emit, cnuc_oh, gc, *, n_cod: int):
+def _triplet_traceback(grid, amax, anc_cods, des_codes, lens_t, lens_m,
+                       logP, ins_emit, match_emit, cnuc_int, gc, *,
+                       n_cod: int):
     """Batched on-device traceback over the boundary grid.
 
-    Scans codon blocks last-to-first; each step recomputes the block's three
-    laned rows from the boundary row below it (same arithmetic as the
-    forward) and advances every pair's walk through the block with a
-    while_loop. Only per-pair op sequences (backward order, per-pair write
-    positions) and final (i, j) leave the device. Row-0 insertions (i == 0,
+    Scans codon blocks last-to-first. Every active pair sits at the block's
+    TOP boundary row when the block starts (crossings drain each walk to
+    exactly the block base), so its optimal descendant-codon lane is read
+    straight from the forward's stored boundary argmax — and the block's
+    three rows are recomputed for THAT SINGLE LANE per pair ([B, Cc]
+    planes, 61x cheaper than the full laned recompute). The walk itself is
+    a while_loop advancing all pairs one edge per iteration; only op
+    sequences and final (i, j) leave the device. Row-0 insertions (i == 0,
     j > 0) are appended by the host."""
     B, m = des_codes.shape
     Cc = m + 1
     ng, gs, go, ge = (gc[x] for x in range(4))
     bidx = jnp.arange(B, dtype=jnp.int32)
-    lanes = jnp.arange(61, dtype=jnp.int32)
 
     # terminal state & raw score (align_fst ShortestDistance convention)
     tm = grid[lens_t, 0, bidx, lens_m] + (ng + ng)
@@ -143,87 +160,68 @@ def _triplet_traceback(grid, anc_cods, des_codes, lens_t, lens_m, logP,
     st0 = jnp.where(ti > jnp.maximum(tm, td), 2, st0).astype(jnp.int32)
     score = _max3(tm, td, ti)
 
-    # emissions + insertion offsets (identical to the forward)
+    # insertion offsets (identical arithmetic to the forward)
     e_ins = ins_emit[des_codes]
     cumE = jnp.concatenate(
         [jnp.zeros((B, 1), jnp.float32), jnp.cumsum(e_ins, axis=1)], axis=1
     )
     j_f = jnp.arange(Cc, dtype=jnp.float32)[None, :]
-    ins_off = (cumE + ge * j_f)[:, None, :]
+    ins_off = cumE + ge * j_f  # [B, Cc]
     go_ge = go - ge
 
-    def row_ins(M):
-        run = jax.lax.cummax(M - ins_off, axis=2)
-        pad = jnp.full(M.shape[:2] + (1,), NEG, jnp.float32)
+    def row_ins2(M):  # [B, Cc]
+        run = jax.lax.cummax(M - ins_off, axis=1)
+        pad = jnp.full((B, 1), NEG, jnp.float32)
         return jnp.concatenate(
-            [pad, run[:, :, :-1] + (ins_off[:, :, 1:] + go_ge)], axis=2
+            [pad, run[:, :-1] + (ins_off[:, 1:] + go_ge)], axis=1
         )
-
-    ME = match_emit[:, des_codes]
-    emit = jnp.einsum("pln,nbj->pblj", cnuc_oh, ME)
-    emit = jnp.concatenate(
-        [jnp.zeros((3, B, 61, 1), jnp.float32), emit], axis=3
-    )
 
     smax = 3 * n_cod + m + 2
     ops0 = jnp.full((smax, B), -1, jnp.int8)
 
     def block(carry, t):
-        i, j, st, lane, s, ops = carry
+        i, j, st, s, ops = carry
         base_i = 3 * t
-        Mr = grid[t, 0]
+        Mr = grid[t, 0]  # collapsed boundary below the block, [B, Cc]
         Dr = grid[t, 1]
         Ir = grid[t, 2]
+
+        # bind each active pair's lane at the block's top boundary
+        lane = amax[t + 1, st, bidx, j]  # [B] in [0, 61)
         cods = jax.lax.dynamic_index_in_dim(
             anc_cods, t, axis=1, keepdims=False
         )
-        cost = logP[cods][:, :, None]
-        Mp = Mr[:, None, :] + cost
-        Dp = Dr[:, None, :] + cost
-        Ip = Ir[:, None, :] + cost
+        cost = logP[cods, lane][:, None]  # [B, 1] codon-entry at the lane
+        Mp = Mr + cost
+        Dp = Dr + cost
+        Ip = Ir + cost
         rows = []
         for p in range(3):
-            e = emit[p]
+            nuc = cnuc_int[p, lane]  # [B] intermediate nucleotide
+            e = match_emit[nuc[:, None], des_codes]  # [B, m]
             body = _max3(
-                Mp[:, :, :-1] + (ng + ng),
-                Dp[:, :, :-1] + gs,
-                Ip[:, :, :-1] + (gs + ng),
-            ) + e[:, :, 1:]
+                Mp[:, :-1] + (ng + ng),
+                Dp[:, :-1] + gs,
+                Ip[:, :-1] + (gs + ng),
+            ) + e
             M = jnp.concatenate(
-                [jnp.full((B, 61, 1), NEG, jnp.float32), body], axis=2
+                [jnp.full((B, 1), NEG, jnp.float32), body], axis=1
             )
             D = _max3(Mp + (ng + go), Dp + ge, Ip + (gs + go))
-            I = row_ins(M)
+            I = row_ins2(M)
             rows.append((M, D, I))
             Mp, Dp, Ip = M, D, I
-        RM = jnp.stack([r[0] for r in rows])  # [3, B, 61, Cc]
+        RM = jnp.stack([r[0] for r in rows])  # [3, B, Cc]
         RD = jnp.stack([r[1] for r in rows])
         RI = jnp.stack([r[2] for r in rows])
 
-        def lane_gather(R, ridx, lane_v, col):
-            return R[ridx, bidx, lane_v, col]  # [B]
-
         def wcond(c):
-            i, j, st, lane, s, ops = c
+            i, j, st, s, ops = c
             return jnp.any((i > base_i) & ((i > 0) | (j > 0)))
 
         def wbody(c):
-            i, j, st, lane, s, ops = c
+            i, j, st, s, ops = c
             act = (i > base_i) & ((i > 0) | (j > 0))
-            ridx = jnp.clip(i - base_i - 1, 0, 2)
-
-            # bind a lane where none is bound: argmax lane of the current
-            # cell's own state value
-            cur = jnp.stack([
-                RM[ridx[:, None], bidx[:, None], lanes[None, :], j[:, None]],
-                RD[ridx[:, None], bidx[:, None], lanes[None, :], j[:, None]],
-                RI[ridx[:, None], bidx[:, None], lanes[None, :], j[:, None]],
-            ])  # [3, B, 61]
-            cur_st = cur[st, bidx]  # [B, 61]
-            lane = jnp.where(
-                act & (lane < 0), jnp.argmax(cur_st, axis=1).astype(jnp.int32),
-                lane,
-            )
 
             di = jnp.where(st == 0, 1, jnp.where(st == 1, 1, 0))
             dj = jnp.where(st == 0, 1, jnp.where(st == 1, 0, 1))
@@ -232,18 +230,14 @@ def _triplet_traceback(grid, anc_cods, des_codes, lens_t, lens_m, logP,
             crossing = (st != 2) & ((i - 1) % 3 == 0)
 
             ridx_p = jnp.clip(pi - base_i - 1, 0, 2)
-            lane_c = jnp.maximum(lane, 0)
-            mv_l = lane_gather(RM, ridx_p, lane_c, pj)
-            dv_l = lane_gather(RD, ridx_p, lane_c, pj)
-            iv_l = lane_gather(RI, ridx_p, lane_c, pj)
+            mv_l = RM[ridx_p, bidx, pj]
+            dv_l = RD[ridx_p, bidx, pj]
+            iv_l = RI[ridx_p, bidx, pj]
             # crossing-entry predecessor: the collapsed boundary row below
             # (the codon-entry cost is common to all candidates)
-            mv_b = Mr[bidx, pj]
-            dv_b = Dr[bidx, pj]
-            iv_b = Ir[bidx, pj]
-            mv = jnp.where(crossing, mv_b, mv_l)
-            dv = jnp.where(crossing, dv_b, dv_l)
-            iv = jnp.where(crossing, iv_b, iv_l)
+            mv = jnp.where(crossing, Mr[bidx, pj], mv_l)
+            dv = jnp.where(crossing, Dr[bidx, pj], dv_l)
+            iv = jnp.where(crossing, Ir[bidx, pj], iv_l)
 
             def amax_pref(a, b, c):
                 code = jnp.where(b > a, 1, 0)
@@ -262,18 +256,16 @@ def _triplet_traceback(grid, anc_cods, des_codes, lens_t, lens_m, logP,
             i = jnp.where(act, pi, i)
             j = jnp.where(act, pj, j)
             st = jnp.where(act, nxt.astype(jnp.int32), st)
-            lane = jnp.where(act & crossing, -1, lane)
-            return (i, j, st, lane, s, ops)
+            return (i, j, st, s, ops)
 
-        carry2 = jax.lax.while_loop(wcond, wbody, (i, j, st, lane, s, ops))
+        carry2 = jax.lax.while_loop(wcond, wbody, (i, j, st, s, ops))
         return carry2, None
 
     i0 = 3 * lens_t
     j0 = lens_m
-    lane0 = jnp.full((B,), -1, jnp.int32)
     s0 = jnp.zeros((B,), jnp.int32)
-    (i, j, st, lane, s, ops), _ = jax.lax.scan(
-        block, (i0, j0, st0, lane0, s0, ops0),
+    (i, j, st, s, ops), _ = jax.lax.scan(
+        block, (i0, j0, st0, s0, ops0),
         jnp.arange(n_cod - 1, -1, -1, dtype=jnp.int32),
     )
     return ops, s, i, j, score
@@ -286,7 +278,7 @@ def triplet_boundaries_batch(model, anc_encs, des_encs):
     code arrays. Returns the boundary grid [n_cod_max + 1, 3, B, Cc] as
     numpy f32 (rows beyond a pair's own n_cod/m are padding)."""
     anc_p, des_p, _, _, tables, n_cod = _pack_batch(model, anc_encs, des_encs)
-    ys = _triplet_rows(
+    ys, _ = _triplet_rows(
         jnp.asarray(anc_p), jnp.asarray(des_p), *tables, n_cod=n_cod
     )
     return np.asarray(jax.device_get(ys))
@@ -372,14 +364,48 @@ def triplet_align_batch(model, pairs, traceback: str = "device"):
         model, anc_encs, des_encs
     )
 
-    grid = _triplet_rows(
-        jnp.asarray(anc_p), jnp.asarray(des_p), *tables, n_cod=n_cod
+    from coati_tpu.align.engine import _device_for
+
+    B, m = des_p.shape
+    C128 = ((m + 1 + 127) // 128) * 128
+    dev = _device_for(len(pairs) * 3 * n_cod * m)
+    # VMEM-resident kernel up to 1024 slots (tools/tune_kernel.py envelope);
+    # longer descendants use the XLA scan
+    use_pallas = (
+        getattr(dev, "platform", "cpu") != "cpu" and C128 <= TRI_PALLAS_MAX_C
     )
+    with jax.default_device(dev):
+        if use_pallas:
+            from coati_tpu.kernels.triplet_pallas import triplet_rows_pallas
+
+            bc = TRI_PALLAS_BC
+            pad_b = (-B) % bc
+            if pad_b:
+                anc_p = np.concatenate(
+                    [anc_p, np.zeros((pad_b, n_cod), np.int32)]
+                )
+                des_p = np.concatenate([des_p, np.zeros((pad_b, m), np.int32)])
+            grid, amax = triplet_rows_pallas(
+                jnp.asarray(anc_p), jnp.asarray(des_p), *tables,
+                n_cod=n_cod, bc=bc,
+            )
+            if pad_b:
+                grid = grid[:, :, :B]
+                amax = amax[:, :, :B]
+                anc_p = anc_p[:B]
+                des_p = des_p[:B]
+        else:
+            grid, amax = _triplet_rows(
+                jnp.asarray(anc_p), jnp.asarray(des_p), *tables, n_cod=n_cod
+            )
 
     if traceback == "device":
+        logP_t, ins_emit_t, match_emit_t, _, gc_t = tables
+        cnuc_int = jnp.asarray(model.cnuc.astype(np.int32))
         ops, s, i_end, j_end, score = _triplet_traceback(
-            grid, jnp.asarray(anc_p), jnp.asarray(des_p),
-            jnp.asarray(lens_t), jnp.asarray(lens_m), *tables, n_cod=n_cod
+            grid, amax, jnp.asarray(anc_p), jnp.asarray(des_p),
+            jnp.asarray(lens_t), jnp.asarray(lens_m),
+            logP_t, ins_emit_t, match_emit_t, cnuc_int, gc_t, n_cod=n_cod
         )
         ops = np.asarray(jax.device_get(ops))
         s = np.asarray(s)

@@ -314,3 +314,35 @@ def test_triplet_device_batch_ecm_and_dna():
             h0, h1, hsc = triplet_align(m, anc, des)
             assert (s0, s1) == (h0, h1)
             assert sc == pytest.approx(hsc, abs=2e-3)
+
+
+def test_triplet_pallas_forward_bit_exact(tri_mg):
+    """Pallas triplet forward (interpret mode) is bit-identical to the XLA
+    scan: boundary grid AND argmax-lane planes."""
+    import random
+
+    import jax.numpy as jnp
+
+    from coati_tpu import triplet_wavefront as tw
+    from coati_tpu.constants import CODONS61
+    from coati_tpu.kernels.triplet_pallas import triplet_rows_pallas
+    from coati_tpu.triplet_hmm import encode_triplet_pair
+
+    rng = random.Random(5)
+    pairs = [("CTCTGGATAGTG", "CTATAGTG")]
+    for _ in range(15):
+        anc = "".join(rng.choice(CODONS61) for _ in range(rng.randint(1, 10)))
+        des = "".join(rng.choice("ACGTN") for _ in range(rng.randint(1, 25)))
+        pairs.append((anc, des))
+    enc = [encode_triplet_pair(tri_mg, a, d) for a, d in pairs]
+    anc_p, des_p, _, _, tables, n_cod = tw._pack_batch(
+        tri_mg, [e[0] for e in enc], [e[1] for e in enc]
+    )
+    aj, dj = jnp.asarray(anc_p), jnp.asarray(des_p)
+
+    g1, a1 = tw._triplet_rows(aj, dj, *tables, n_cod=n_cod)
+    g2, a2 = triplet_rows_pallas(
+        aj, dj, *tables, n_cod=n_cod, bc=4, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
