@@ -97,15 +97,124 @@ def _round_up(x: int, q: int) -> int:
     return ((x + q - 1) // q) * q
 
 
+# beyond this many padded slots the segment kernel's carried VMEM state
+# (rings + window + capture, in/out/scratch at ~0.55 KB/slot with B=1
+# sublane padding) exceeds the raised 100 MB vmem budget
+PALLAS_SEG_MAX_C = 131072
+
+
+def _viterbi_align_long_pallas(
+    enc_a, enc_b, a_str, b_str, table, gap, *, seg_diagonals: int,
+    quantum: int, interpret: bool = False,
+):
+    """Pallas-segment backend: identical two-pass structure, but each
+    segment runs the VMEM-resident kernel with carried (ring, emission
+    window, corner capture) state instead of the XLA scan."""
+    from coati_tpu.align.engine import ops_to_strings
+    from coati_tpu.kernels.wavefront_pallas import (
+        segment_consts,
+        segment_corners,
+        wavefront_pallas_segment,
+    )
+
+    k = int(gap.len)
+    gc = jnp.asarray(gap_consts_array(gap))
+    table32 = jnp.asarray(np.asarray(table, dtype=np.float32))
+    na, nb = len(enc_a), len(enc_b)
+    NA = _round_up(max(na, quantum), quantum)
+    NB = _round_up(max(nb, quantum), quantum)
+    aseq = np.zeros((1, NA), np.int32)
+    bseq = np.zeros((1, NB), np.int32)
+    aseq[0, :na] = enc_a
+    bseq[0, :nb] = enc_b
+    la = jnp.asarray([na], jnp.int32)
+    lb = jnp.asarray([nb], jnp.int32)
+    T = int(seg_diagonals)
+    B = 1
+
+    used = set(np.unique(bseq).tolist())
+    if used <= {0, 1, 2, 3}:
+        cc = (0, 1, 2, 3)
+    elif used <= {0, 1, 2, 3, 14}:
+        cc = (0, 1, 2, 3, 14)
+    else:
+        cc = tuple(range(15))
+
+    consts, carry, n_seg, Dtot, NAr = segment_consts(
+        jnp.asarray(aseq), jnp.asarray(bseq), la, lb, table32, gc,
+        k=k, T=T, code_cols=cc,
+    )
+
+    # ---- pass 1: forward sweep, checkpoint the carry entering each segment
+    ckpts = []
+    for s in range(n_seg):
+        ckpts.append(carry)
+        _, carry = wavefront_pallas_segment(
+            consts, carry, jnp.int32(s * T), k=k, T=T, want_bp=False,
+            NA=NAr, interpret=interpret,
+        )
+    cM, cD, cI = segment_corners(carry[2], gc)
+
+    st = _argmax_mdi(cM, cD, cI).astype(jnp.int32)
+    score = jnp.maximum(cM, jnp.maximum(cD, cI))
+    i = la + jnp.int32(k - 1)
+    j = lb + jnp.int32(k - 1)
+    s_steps = jnp.int32(0)
+    ops = jnp.full((Dtot, B), -1, dtype=jnp.int8)
+
+    # ---- pass 2: recompute each segment's bp from its checkpoint, walk it
+    for seg in range(n_seg - 1, -1, -1):
+        pos_d = int(np.asarray(jax.device_get(i + j))[0])
+        if pos_d < seg * T:
+            continue
+        bp_seg, _ = wavefront_pallas_segment(
+            consts, ckpts[seg], jnp.int32(seg * T), k=k, T=T, want_bp=True,
+            NA=NAr, interpret=interpret,
+        )
+        i, j, st, s_steps, ops = _walk_segment(
+            bp_seg, jnp.int32(seg * T), i, j, st, s_steps, ops, k=k
+        )
+        done = bool(np.asarray(jax.device_get(
+            (i <= k - 1) & (j <= k - 1)
+        )).all())
+        if done:
+            break
+
+    ops_h = np.asarray(jax.device_get(ops))[::-1]
+    score_h = np.asarray(jax.device_get(score))
+    return ops_to_strings(ops_h, score_h, [a_str], [b_str], k)[0]
+
+
 def viterbi_align_long(
     enc_a, enc_b, a_str, b_str, table, gap, *, seg_diagonals: int = 4096,
-    quantum: int = 512,
+    quantum: int = 512, engine: str = "auto",
 ):
     """Viterbi-align one long pair with bounded memory. Returns an
-    engine.AlignResult; strings/score identical to the full-bp path."""
+    engine.AlignResult; strings/score identical to the full-bp path.
+
+    engine: 'pallas' forces the VMEM-resident segment kernel, 'xla' the
+    scan fallback; 'auto' picks Pallas on an accelerator when the slot
+    count fits its VMEM envelope."""
     from coati_tpu.align.engine import AlignResult, ops_to_strings
 
     k = int(gap.len)
+    if engine == "auto":
+        NB_pad = _round_up(max(len(enc_b), quantum), quantum)
+        C128 = ((NB_pad + k + 127) // 128) * 128
+        dev = getattr(jax.config, "jax_default_device", None)
+        platform = getattr(dev, "platform", None) or jax.devices()[0].platform
+        engine = (
+            "pallas"
+            if platform != "cpu" and C128 <= PALLAS_SEG_MAX_C
+            else "xla"
+        )
+    if engine == "pallas":
+        du = 4
+        seg = _round_up(int(seg_diagonals), du)
+        return _viterbi_align_long_pallas(
+            enc_a, enc_b, a_str, b_str, table, gap,
+            seg_diagonals=seg, quantum=quantum,
+        )
     gc = jnp.asarray(gap_consts_array(gap))
     table32 = jnp.asarray(np.asarray(table, dtype=np.float32))
     na, nb = len(enc_a), len(enc_b)

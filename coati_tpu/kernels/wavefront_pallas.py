@@ -68,21 +68,37 @@ def _lse(a, b):
 
 def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
                  want_bp: bool, nc: int, mode: str = "viterbi",
-                 du: int = 1, n_steps: int = 0):
+                 du: int = 1, n_steps: int = 0, seg: bool = False):
     def kernel(
         grow_ref,  # [du, BC, nc] table rows for a[d-k] (pre-shifted, padded)
         ohb_ref,  # [nc, BC, C] f32 one-hot of descendant codes (resident)
         cd_ref,  # [BC, C] int32 per-pair corner diagonal (broadcast)
         cj_ref,  # [BC, C] int32 per-pair corner slot (broadcast)
-        body_ref,  # [du, 1, C] f32 1.0 where body cell on these diagonals
-        margM_ref,  # [du, 1, C] f32 margin-or-LOWEST for M on these diagonals
-        margD_ref,  # [du, 1, C] f32
-        margI_ref,  # [du, 1, C] f32
-        gc_ref,  # [1, 4] f32 gap constants in SMEM
         *refs,
     ):
         Mout_ref = Dout_ref = Iout_ref = bp_ref = None
-        if mode == "forward":
+        ringo_ref = gwino_ref = capo_ref = None
+        body_ref = margM_ref = margD_ref = margI_ref = None
+        d0v = 0
+        if seg:
+            # carried-state segment: margins are computed in-kernel from
+            # the global diagonal index (streaming [Dtot, C] tables would
+            # cost O(n*m) HBM — the thing this path exists to avoid);
+            # [1,1] SMEM global start diagonal + carried ring/window/corner
+            gc_ref, d0_ref, ring0_ref, gwin0_ref, cap0_ref = refs[:5]
+            refs = refs[5:]
+            d0v = d0_ref[0, 0]
+            if want_bp:
+                bp_ref = refs[0]
+                refs = refs[1:]
+            (ringo_ref, gwino_ref, capo_ref,
+             Mr_ref, Dr_ref, Ir_ref, gwin_ref, cap_ref) = refs
+        else:
+            body_ref, margM_ref, margD_ref, margI_ref, gc_ref = refs[:5]
+            refs = refs[5:]
+        if seg:
+            pass
+        elif mode == "forward":
             (Mout_ref, Dout_ref, Iout_ref, corner_ref,
              Mr_ref, Dr_ref, Ir_ref, gwin_ref, cap_ref) = refs
         elif want_bp:
@@ -100,14 +116,21 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
 
         @pl.when(g == 0)
         def _init():
-            cap_ref[...] = jnp.full((3, BC, C), LOWEST, jnp.float32)
-            gwin_ref[...] = jnp.zeros((nc, BC, C), jnp.float32)
-            # clear stale state from the previous batch chunk so results are
-            # bit-deterministic (only never-visited cells would see it)
-            low = jnp.full((ring, BC, C), LOWEST, jnp.float32)
-            Mr_ref[...] = low
-            Dr_ref[...] = low
-            Ir_ref[...] = low
+            if seg:
+                cap_ref[...] = cap0_ref[...]
+                gwin_ref[...] = gwin0_ref[...]
+                Mr_ref[...] = ring0_ref[0]
+                Dr_ref[...] = ring0_ref[1]
+                Ir_ref[...] = ring0_ref[2]
+            else:
+                cap_ref[...] = jnp.full((3, BC, C), LOWEST, jnp.float32)
+                gwin_ref[...] = jnp.zeros((nc, BC, C), jnp.float32)
+                # clear stale state from the previous batch chunk so results
+                # are bit-deterministic (only never-visited cells see it)
+                low = jnp.full((ring, BC, C), LOWEST, jnp.float32)
+                Mr_ref[...] = low
+                Dr_ref[...] = low
+                Ir_ref[...] = low
 
         j_i = jax.lax.broadcasted_iota(jnp.int32, (BC, C), 1)
         j3 = jax.lax.broadcasted_iota(jnp.int32, (nc, BC, C), 2)
@@ -117,7 +140,7 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
         # du diagonals per grid step: amortizes the per-step fixed work
         # (index maps, pipeline turnaround) over du full-width row updates
         for t in range(du):
-            d = g * du + t
+            d = d0v + g * du + t
 
             # --- advance emission window: Gwin[c,:,j] = table[a[d-k-j], c]
             # (G is pre-shifted by k and zero-padded on the XLA side)
@@ -171,11 +194,31 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
             D = plus2(plus2(m2d, d2d), i2d)
             I = plus2(m2i, i2i)
 
-            # --- body/margin select (streamed per diagonal) -----------------
-            body = body_ref[t, 0] > 0.5  # [C]
-            M = jnp.where(body[None, :], M, margM_ref[t, 0][None, :])
-            D = jnp.where(body[None, :], D, margD_ref[t, 0][None, :])
-            I = jnp.where(body[None, :], I, margI_ref[t, 0][None, :])
+            # --- body/margin select ------------------------------------------
+            if seg:
+                # computed in place from the diagonal index (f32 formulas
+                # identical to _diag_tables)
+                jv = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+                iv = d - jv
+                body = (iv >= k) & (iv < NA + k) & (jv >= k)
+                jf = jv.astype(jnp.float32)
+                if_ = iv.astype(jnp.float32)
+                mMv = jnp.where((iv == k - 1) & (jv == k - 1),
+                                jnp.float32(0.0), LOWEST)
+                ins_ok = ((iv == k - 1) & (jv >= 2 * k - 1)
+                          & ((jv - (k - 1)) % k == 0))
+                mIv = jnp.where(ins_ok, go + ge * (jf - 1.0), LOWEST)
+                del_ok = ((jv == k - 1) & (iv >= 2 * k - 1)
+                          & ((iv - (k - 1)) % k == 0))
+                mDv = jnp.where(del_ok, (ng + go) + ge * (if_ - 1.0), LOWEST)
+                M = jnp.where(body, M, mMv)
+                D = jnp.where(body, D, mDv)
+                I = jnp.where(body, I, mIv)
+            else:
+                body = body_ref[t, 0] > 0.5  # [C]
+                M = jnp.where(body[None, :], M, margM_ref[t, 0][None, :])
+                D = jnp.where(body[None, :], D, margD_ref[t, 0][None, :])
+                I = jnp.where(body[None, :], I, margI_ref[t, 0][None, :])
 
             # --- ring write --------------------------------------------------
             slot = jax.lax.rem(d, ring)
@@ -207,12 +250,21 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
         gwin_ref[...] = win
         cap_ref[...] = jnp.stack([cap0, cap1, cap2], axis=0)
 
-        @pl.when(g == n_steps - 1)
-        def _fin():
-            red = jnp.max(cap_ref[...], axis=2)  # [3, BC]
-            out = jnp.broadcast_to(red[:, :, None], (3, BC, 128))
-            corner_ref[0:3] = out
-            corner_ref[3:8] = jnp.zeros((5, BC, 128), jnp.float32)
+        if seg:
+            @pl.when(g == n_steps - 1)
+            def _export():
+                ringo_ref[0] = Mr_ref[...]
+                ringo_ref[1] = Dr_ref[...]
+                ringo_ref[2] = Ir_ref[...]
+                gwino_ref[...] = gwin_ref[...]
+                capo_ref[...] = cap_ref[...]
+        else:
+            @pl.when(g == n_steps - 1)
+            def _fin():
+                red = jnp.max(cap_ref[...], axis=2)  # [3, BC]
+                out = jnp.broadcast_to(red[:, :, None], (3, BC, 128))
+                corner_ref[0:3] = out
+                corner_ref[3:8] = jnp.zeros((5, BC, 128), jnp.float32)
 
     return kernel
 
@@ -383,3 +435,141 @@ def wavefront_pallas(
     cD = corner[1, :, 0] + gs
     cI = (corner[2, :, 0] + gs) + ng
     return (cM, cD, cI), aux
+
+
+# --- segmented (carried-state) sweeps for the long-pair path -----------------
+def segment_consts(aseq, bseq, lens_a, lens_b, table, gap_consts, *, k,
+                   T, code_cols=tuple(range(15))):
+    """Per-pair constant arrays for segmented sweeps, padded so every
+    segment slice [d0, d0 + T) is in range. O(NA + C) memory — body/margin
+    values are computed in-kernel from the diagonal index. Returns
+    (consts tuple, initial carry tuple, n_seg, Dtot, NA)."""
+    B, NA = aseq.shape
+    NB = bseq.shape[1]
+    C = ((NB + k + 127) // 128) * 128
+    R = NA + k
+    Dtot = R + (NB + k) - 1
+    n_seg = -(-Dtot // T)
+    Dpad = n_seg * T
+    nc = len(code_cols)
+    ring = max(k, 2) + 1
+
+    table_sub = table[:, jnp.asarray(code_cols)]
+    G = jnp.transpose(jnp.take(table_sub, aseq, axis=0), (1, 0, 2))
+    G = jnp.pad(G, ((k, Dpad - k - NA), (0, 0), (0, 0)))
+
+    lut = np.full(16, 99, np.int32)
+    for idx, col in enumerate(code_cols):
+        lut[col] = idx
+    bseq_m = jnp.asarray(lut)[bseq]
+    b_slot = jnp.pad(
+        bseq_m, ((0, 0), (k, C - NB - k)), constant_values=99
+    ).astype(jnp.int32)
+    oh_b = jax.nn.one_hot(b_slot, nc, axis=0, dtype=jnp.float32)
+    corner_d = (lens_a + lens_b + jnp.int32(2 * (k - 1)))[:, None]
+    corner_j = (lens_b + jnp.int32(k - 1))[:, None]
+    cd = jnp.broadcast_to(corner_d, (B, C)).astype(jnp.int32)
+    cj = jnp.broadcast_to(corner_j, (B, C)).astype(jnp.int32)
+    gc = gap_consts.reshape(1, 4).astype(jnp.float32)
+
+    ring0 = jnp.full((3, ring, B, C), LOWEST, jnp.float32)
+    gwin0 = jnp.zeros((nc, B, C), jnp.float32)
+    cap0 = jnp.full((3, B, C), LOWEST, jnp.float32)
+    return ((G, oh_b, cd, cj, gc),
+            (ring0, gwin0, cap0), n_seg, Dtot, NA)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "T", "want_bp", "du", "interpret", "NA")
+)
+def wavefront_pallas_segment(consts, carry, d0, *, k, T, want_bp, NA,
+                             du: int = 4, interpret: bool = False):
+    """Run T diagonals of the Viterbi wavefront from a carried
+    (ring, emission window, corner capture) state — the VMEM-resident
+    engine for the segmented O(n)-memory long-pair path. d0 is DYNAMIC
+    (one compiled executable serves every segment of a pair shape).
+
+    Returns (bp [T, B, C] uint8 or None, new carry). The final corner is
+    max over the last carry's cap plane (the capture selects exactly one
+    cell), adjusted by the caller like the full kernel's epilogue."""
+    G, oh_b, cd, cj, gc = consts
+    ring0, gwin0, cap0 = carry
+    nc, B, C = oh_b.shape
+    ring = ring0.shape[1]
+    assert T % du == 0
+    n_steps = T // du
+
+    Gs = jax.lax.dynamic_slice(G, (d0, 0, 0), (T, B, nc))
+    d0a = jnp.reshape(d0, (1, 1)).astype(jnp.int32)
+
+    kernel = _make_kernel(k, NA, C, B, 0, ring, want_bp, nc,
+                          mode="viterbi", du=du, n_steps=n_steps, seg=True)
+    grid = (1, n_steps)
+    full = lambda *dims: pl.BlockSpec(dims, lambda bi, g: (0,) * len(dims),
+                                      memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((du, B, nc), lambda bi, g: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        full(nc, B, C),
+        full(B, C),
+        full(B, C),
+        pl.BlockSpec((1, 4), lambda bi, g: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda bi, g: (0, 0), memory_space=pltpu.SMEM),
+        full(3, ring, B, C),
+        full(nc, B, C),
+        full(3, B, C),
+    ]
+    out_specs = []
+    out_shape = []
+    if want_bp:
+        out_specs.append(
+            pl.BlockSpec((du, B, C), lambda bi, g: (g, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((T, B, C), jnp.uint8))
+    out_specs += [full(3, ring, B, C), full(nc, B, C), full(3, B, C)]
+    out_shape += [
+        jax.ShapeDtypeStruct((3, ring, B, C), jnp.float32),
+        jax.ShapeDtypeStruct((nc, B, C), jnp.float32),
+        jax.ShapeDtypeStruct((3, B, C), jnp.float32),
+    ]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((ring, B, C), jnp.float32),
+            pltpu.VMEM((ring, B, C), jnp.float32),
+            pltpu.VMEM((ring, B, C), jnp.float32),
+            pltpu.VMEM((nc, B, C), jnp.float32),
+            pltpu.VMEM((3, B, C), jnp.float32),
+        ],
+        # B=1 planes tile-pad to 8 sublanes, so the carried state
+        # overshoots the default 16 MB scoped-vmem budget at long C;
+        # v5e has 128 MB physical VMEM — raise the cap
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(Gs, oh_b, cd, cj, gc, d0a, ring0, gwin0, cap0)
+
+    if want_bp:
+        bp, ring_o, gwin_o, cap_o = outs
+    else:
+        bp = None
+        ring_o, gwin_o, cap_o = outs
+    return bp, (ring_o, gwin_o, cap_o)
+
+
+def segment_corners(cap, gap_consts):
+    """Terminal-adjusted corner scores from the final carry's capture plane
+    (same f32 epilogue as the full kernel)."""
+    red = jnp.max(cap, axis=2)  # [3, B]
+    ng, gs = gap_consts[0], gap_consts[1]
+    cM = (red[0] + ng) + ng
+    cD = red[1] + gs
+    cI = (red[2] + gs) + ng
+    return cM, cD, cI

@@ -118,3 +118,27 @@ def test_long_path_matches_native_strings_32k(mg94_table):
     long_r = viterbi_align_long(ea, eb, anc, des, mg94_table, gap)
     assert (long_r.seq0, long_r.seq1) == (n0, n1)
     assert long_r.score == pytest.approx(nsc, abs=1e-2)
+
+
+@pytest.mark.parametrize("k,seg", [(1, 256), (3, 252)])
+def test_pallas_segments_match_xla_segments(mg94_table, k, seg):
+    """The VMEM-resident segment kernel (carried ring/window/capture state)
+    reproduces the XLA segmented path exactly — strings and scores."""
+    import random
+
+    from coati_tpu.align.longseq import _viterbi_align_long_pallas
+
+    rng = random.Random(42 + k)
+    gap = GapParams(len=k)
+    anc, des = _mutated_pair(rng, 180, n_indels=3)
+    if k == 3 and len(des) % 3 != 0:
+        des = des[: len(des) - len(des) % 3]
+    ea, eb = encode_marginal(anc, des)
+
+    x = viterbi_align_long(ea, eb, anc, des, mg94_table, gap,
+                           seg_diagonals=seg, quantum=64, engine="xla")
+    p = _viterbi_align_long_pallas(ea, eb, anc, des, mg94_table, gap,
+                                   seg_diagonals=seg, quantum=64,
+                                   interpret=True)
+    assert (p.seq0, p.seq1) == (x.seq0, x.seq1)
+    assert p.score == pytest.approx(x.score, abs=1e-5)
