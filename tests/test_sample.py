@@ -58,6 +58,30 @@ def test_encode_seed_format():
     assert all(len(p) == 6 for p in parts)
 
 
+# Golden vectors obtained by hand-evaluating the reference pipeline
+# (string_seed_seq -> SeedSeq256 hash_implA -> Generate hash_implB ->
+#  Lehmer state memcpy LE + |1 -> GetSeed -> base58 encode_seed) directly
+# from /root/reference/contrib/random/random.hpp:328-440,465-540 and
+# src/coati-genseed.cc:38-48, in an independent transcription (not via
+# coati_tpu.rng). Pins full `coati genseed <args>` byte parity.
+GENSEED_VECTORS = [
+    (["42"], "5jsnAz-5FUGpQ-4m4mTp-4GfG7E"),
+    (["42", "hello"], "3eBrK6-1FK5RW-5Py8gB-316Mnb"),
+    (["coati"], "1adU4z-6VrFK2-4sYCQp-3FE9Wc"),
+    (["-7"], "2X6ifN-2Y2NzF-2Yx3K8-2Zshdz"),
+    # does not fit int32 -> hashed as a string, not parsed as a number
+    (["2147483648"], "61hFyA-4CS2nZ-2PAobx-77SQZe"),
+]
+
+
+@pytest.mark.parametrize("args,expect", GENSEED_VECTORS,
+                         ids=["-".join(a) for a, _ in GENSEED_VECTORS])
+def test_genseed_reference_parity(args, expect):
+    rng = Lehmer64()
+    seed_random(rng, string_seed_seq(args))
+    assert encode_seed(rng.get_seed_u32x4()) == expect
+
+
 def test_lehmer_f24_range():
     rng = Lehmer64()
     vals = [rng.f24() for _ in range(1000)]
