@@ -245,12 +245,11 @@ def fused_align_ops_packed_impl(aseq, bseq, la, lb, table32, gc, *, k,
         code_cols=code_cols, bc=bc, du=du,
     )
     S = ops.shape[0]
-    nsteps = jnp.sum(jnp.any(ops >= 0, axis=1)).astype(jnp.int32)
     S4 = -(-S // 4) * 4
     o = jnp.pad(ops, ((0, S4 - S), (0, 0)), constant_values=-1)
     o = (o & jnp.int8(3)).astype(jnp.uint8)  # -1 -> 3
     packed = (o[0::4] | (o[1::4] << 2) | (o[2::4] << 4) | (o[3::4] << 6))
-    return packed, nsteps, score
+    return packed, score
 
 
 _align_step_packed_jit = functools.partial(
@@ -283,13 +282,14 @@ def _code_cols_for(bseq) -> tuple:
     return tuple(range(15))
 
 
-def _fetch_packed(packed_d, nsteps_d, score_d, n_real):
-    """Fetch one launched chunk's results: trim the packed op rows to the
-    realized walk length, transfer, unpack, reverse to forward order."""
-    ns = int(jax.device_get(nsteps_d))
-    rows = (ns + 3) // 4
-    pk = np.asarray(jax.device_get(packed_d[:rows]))
-    ops = _unpack_ops(pk, ns)[::-1, :n_real]
+def _fetch_packed(packed_d, nsteps, score_d, n_real):
+    """Fetch one launched chunk's results: the packed op rows were already
+    trimmed (asynchronously, at launch) to `nsteps`, a host-computed upper
+    bound on the walk length — transfer, unpack, reverse to forward order.
+    Rows between the realized walk length and the bound hold -1 padding the
+    string builders already skip."""
+    pk = np.asarray(jax.device_get(packed_d))
+    ops = _unpack_ops(pk, nsteps)[::-1, :n_real]
     score = np.asarray(jax.device_get(score_d))[:n_real]
     return ops, score
 
@@ -324,13 +324,22 @@ def _align_step(aseq, bseq, la, lb, table32, gc, k, dev, fetch=True,
         aseq = aseq.astype(np.uint16)
     if isinstance(bseq, np.ndarray):
         bseq = bseq.astype(np.uint8)
-    packed, nsteps, score = _align_step_packed_jit(
+    packed, score = _align_step_packed_jit(
         jnp.asarray(aseq), jnp.asarray(bseq), jnp.asarray(la),
         jnp.asarray(lb), jnp.asarray(table32), jnp.asarray(gc),
         k=k, use_pallas=use_pallas, code_cols=code_cols,
         bc=bc if use_pallas else PALLAS_BC,
         du=_du_for(C, bc) if use_pallas else 1,
     )
+    # trim the fetch to a host-known walk-length bound (every traceback step
+    # consumes an ancestor or descendant symbol, so steps <= la + lb + 1);
+    # the slice dispatches asynchronously NOW, so the fetch loop later pays
+    # no extra device round trip. Rounded to x32 rows to bound the number
+    # of distinct slice executables per bucket.
+    nsteps = min(int(np.max(la + lb)) + 1, packed.shape[0] * 4)
+    rows = min(_round_up(-(-nsteps // 4), 32), packed.shape[0])
+    packed = packed[:rows]
+    nsteps = min(nsteps, rows * 4)
     if not fetch:
         return packed, nsteps, score
     ops, score_h = _fetch_packed(packed, nsteps, score, B)

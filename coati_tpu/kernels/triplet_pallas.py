@@ -133,31 +133,26 @@ def _make_kernel(bc: int, Cc: int, n_cod: int):
 @functools.partial(
     jax.jit, static_argnames=("n_cod", "bc", "interpret")
 )
-def triplet_rows_pallas(anc_cods, des_codes, logP, ins_emit, match_emit,
-                        cnuc_oh, gc, *, n_cod: int, bc: int = 4,
+def triplet_rows_pallas(anc_cods, des_codes, ins_off, logP, match_emit,
+                        cnuc_int, gc, *, n_cod: int, bc: int = 4,
                         interpret: bool = False):
     """Drop-in Pallas replacement for triplet_wavefront._triplet_rows:
     same arguments, same (boundaries [n_cod+1, 3, B, Cc], amax) outputs,
     bit-identical f32 values. Cc is padded to the 128-lane tile; columns
-    beyond m+1 are garbage the traceback never reads."""
+    beyond m+1 are garbage the traceback never reads. ins_off arrives
+    host-computed (bit-parity with the host engine's cumsum)."""
     B, m = des_codes.shape
     Cc_real = m + 1
     Cc = ((Cc_real + 127) // 128) * 128
     assert B % bc == 0, (B, bc)
     ng, gs, go, ge = (gc[i] for i in range(4))
 
-    # insertion run offsets (identical arithmetic to the scan)
-    e_ins = ins_emit[des_codes]  # [B, m]
-    cumE = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.float32), jnp.cumsum(e_ins, axis=1)], axis=1
-    )
-    j_f = jnp.arange(Cc_real, dtype=jnp.float32)[None, :]
-    ins_off = cumE + ge * j_f  # [B, Cc_real]
     ins_off_p = jnp.pad(ins_off, ((0, 0), (0, Cc - Cc_real)))[:, None, :]
 
-    # per-phase lane emissions [3, B, 64, Cc]: one-hot contraction (exact)
+    # per-phase lane emissions [3, B, 64, Cc]: pure gathers (exact; an MXU
+    # one-hot contraction would round the f32 values through bf16)
     ME = match_emit[:, des_codes]  # [4, B, m]
-    emit = jnp.einsum("pln,nbj->pblj", cnuc_oh, ME)  # [3, B, 61, m]
+    emit = jnp.transpose(ME[cnuc_int], (0, 2, 1, 3))  # [3, B, 61, m]
     emit = jnp.pad(emit, ((0, 0), (0, 0), (0, 3), (1, Cc - Cc_real)))
 
     # codon-entry costs [n_cod, B, 1, 64] (pad lanes never win a collapse)

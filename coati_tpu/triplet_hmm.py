@@ -135,20 +135,37 @@ def build_triplet_model(aln: AlignmentParams) -> TripletModel:
 class _DP:
     """Row-sweep DP engine over columns j (0..m) and codon lanes.
 
-    dtype=float32 reproduces the device forward's arithmetic so traceback
-    block-recompute decisions are consistent with device boundary rows."""
+    The CANONICAL dtype is float32 — the reference's FST weights are f32
+    (OpenFst StdArc) and the device forward is f32, so both engines share
+    one arithmetic and traceback tie decisions agree bit-for-bit. All gap
+    constants are pre-cast to the dtype and composite sums are grouped
+    exactly as the device kernel groups them ((ng+ng) first, then added to
+    the row) so rounding is identical. dtype=float64 remains available for
+    oracle cross-checks."""
 
     def __init__(self, model: TripletModel, anc: np.ndarray, des: np.ndarray,
-                 dtype=np.float64):
+                 dtype=np.float32):
         self.m = model
         self.anc = anc
         self.des = des
         self.dtype = dtype
         self.Cc = len(des) + 1
+        # dtype-local gap constants and their composite sums (device-order)
+        self.ng = dtype(model.ng)
+        self.gs = dtype(model.gs)
+        self.go = dtype(model.go)
+        self.ge = dtype(model.ge)
+        self.ng_ng = self.ng + self.ng
+        self.gs_ng = self.gs + self.ng
+        self.ng_go = self.ng + self.go
+        self.gs_go = self.gs + self.go
+        self.go_ge = self.go - self.ge
         e = model.ins_emit[des].astype(dtype)
-        self.cumE = np.concatenate([[0.0], np.cumsum(e)]).astype(dtype)  # [Cc]
+        self.cumE = np.concatenate(
+            [np.zeros(1, dtype), np.cumsum(e, dtype=dtype)]
+        )  # [Cc]
         j = np.arange(self.Cc, dtype=dtype)
-        self.ins_off = (self.cumE + dtype(model.ge) * j).astype(dtype)
+        self.ins_off = self.cumE + self.ge * j
         self.n_lanes = 61 if model.codon else 1
 
     def init_row(self):
@@ -161,18 +178,18 @@ class _DP:
 
     def row_ins(self, Mrow):
         """I[j] = max(M[j-1]+go, I[j-1]+ge) + ins_emit[j-1], vectorized:
-        I[j] = cumE[j] + ge*j + (go-ge) + max_{u<j}(M[u] - cumE[u] - ge*u)."""
-        m = self.m
+        I[j] = cumE[j] + ge*j + (go-ge) + max_{u<j}(M[u] - cumE[u] - ge*u).
+        Grouping matches the device row_ins: run + (ins_off + (go-ge))."""
         if Mrow.ndim == 1:
             base = Mrow - self.ins_off
             run = np.maximum.accumulate(base)
             out = np.full(self.Cc, NEG, dtype=Mrow.dtype)
-            out[1:] = run[:-1] + self.ins_off[1:] + (m.go - m.ge)
+            out[1:] = run[:-1] + (self.ins_off[1:] + self.go_ge)
             return out
         base = Mrow - self.ins_off[:, None]
         run = np.maximum.accumulate(base, axis=0)
         out = np.full_like(Mrow, NEG)
-        out[1:] = run[:-1] + (self.ins_off[1:, None] + (m.go - m.ge))
+        out[1:] = run[:-1] + (self.ins_off[1:, None] + self.go_ge)
         return out
 
     def step_row(self, i, M_prev, D_prev, I_prev):
@@ -182,7 +199,6 @@ class _DP:
         at boundaries), plain [Cc] for the dna model.
         """
         m = self.m
-        ng, gs, go, ge = m.ng, m.gs, m.go, m.ge
         dt = self.dtype
         if m.codon:
             p = (i - 1) % 3
@@ -198,22 +214,22 @@ class _DP:
                 Mp, Dp, Ip = M_prev, D_prev, I_prev
             M = np.full((self.Cc, 61), NEG, dtype=dt)
             M[1:] = np.maximum(
-                np.maximum(Mp[:-1] + (ng + ng), Dp[:-1] + gs),
-                Ip[:-1] + (gs + ng),
+                np.maximum(Mp[:-1] + self.ng_ng, Dp[:-1] + self.gs),
+                Ip[:-1] + self.gs_ng,
             ) + emit
-            D = np.maximum(np.maximum(Mp + (ng + go), Dp + ge),
-                           Ip + (gs + go))
+            D = np.maximum(np.maximum(Mp + self.ng_go, Dp + self.ge),
+                           Ip + self.gs_go)
             I = self.row_ins(M)
             return M, D, I
         x = self.anc[i - 1]
         emit = m.match_emit_eff[x][self.des].astype(dt)
         M = np.full(self.Cc, NEG, dtype=dt)
         M[1:] = np.maximum(
-            np.maximum(M_prev[:-1] + (ng + ng), D_prev[:-1] + gs),
-            I_prev[:-1] + (gs + ng),
+            np.maximum(M_prev[:-1] + self.ng_ng, D_prev[:-1] + self.gs),
+            I_prev[:-1] + self.gs_ng,
         ) + emit
-        D = np.maximum(np.maximum(M_prev + (ng + go), D_prev + ge),
-                       I_prev + (gs + go)) + dt(m.del_cost[x])
+        D = np.maximum(np.maximum(M_prev + self.ng_go, D_prev + self.ge),
+                       I_prev + self.gs_go) + dt(m.del_cost[x])
         I = self.row_ins(M)
         return M, D, I
 
@@ -222,11 +238,12 @@ def _clp(x):
     return x if x.ndim == 1 else x.max(axis=-1)
 
 
-def triplet_forward(model, anc_cods, des_codes, keep_boundaries=False):
+def triplet_forward(model, anc_cods, des_codes, keep_boundaries=False,
+                    dtype=np.float32):
     """Viterbi sweep. Returns (terminal (M,D,I) adjusted at (n,m),
     boundary_rows) where boundary_rows[t] = collapsed rows at i=3t (codon
     models; every row for dna)."""
-    dp = _DP(model, anc_cods, des_codes)
+    dp = _DP(model, anc_cods, des_codes, dtype=dtype)
     n = len(anc_cods) * (3 if model.codon else 1)
     Mr, Dr, Ir = dp.init_row()
     boundaries = [(Mr.copy(), Dr.copy(), Ir.copy())] if keep_boundaries else None
@@ -240,11 +257,10 @@ def triplet_forward(model, anc_cods, des_codes, keep_boundaries=False):
                 boundaries.append((Mc, Dc, Ic))
             Mr, Dr, Ir = Mc, Dc, Ic
 
-    m = model
     term = (
-        Mr[-1] + m.ng + m.ng,
-        Dr[-1] + m.gs,
-        Ir[-1] + m.gs + m.ng,
+        Mr[-1] + dp.ng_ng,
+        Dr[-1] + dp.gs,
+        Ir[-1] + dp.gs_ng,
     )
     return term, boundaries, dp
 
@@ -300,8 +316,8 @@ def traceback_from_boundaries(model, anc: str, des: str, term, boundaries,
     score = max(term)
     state = _argmax_pref(*term)
 
-    m = model
-    ng, gs, go, ge = m.ng, m.gs, m.go, m.ge
+    # dtype-local constants with device-identical grouping (dp.ng_ng etc.)
+    # so every comparison below rounds exactly like the device traceback
     period = 3 if model.codon else 1
 
     # recompute laned rows of one block at a time: block t = rows
@@ -379,11 +395,11 @@ def traceback_from_boundaries(model, anc: str, des: str, term, boundaries,
             mv, dv, iv = laned_cell(pi_, pj)
 
         if state == MATCH:
-            nxt = _argmax_pref(mv + ng + ng, dv + gs, iv + gs + ng)
+            nxt = _argmax_pref(mv + dp.ng_ng, dv + dp.gs, iv + dp.gs_ng)
         elif state == DELETION:
-            nxt = _argmax_pref(mv + ng + go, dv + ge, iv + gs + go)
+            nxt = _argmax_pref(mv + dp.ng_go, dv + dp.ge, iv + dp.gs_go)
         else:
-            nxt = MATCH if mv + go > iv + ge else INSERTION
+            nxt = MATCH if mv + dp.go > iv + dp.ge else INSERTION
 
         if crossing_entry:
             lane = None
@@ -453,10 +469,14 @@ def triplet_path_score(model, s0: str, s1: str) -> float:
 
 
 def triplet_score(model, anc: str, des: str) -> float:
+    """Optimal-path score in float64 (oracle precision; the alignment
+    engines themselves are float32-canonical like the reference's f32 FST
+    weights)."""
     anc_enc = (encode_triplet_anc(anc) if model.codon
                else encode_triplet_des(anc))
     des_codes = encode_triplet_des(des)
-    term, _, _ = triplet_forward(model, anc_enc, des_codes)
+    term, _, _ = triplet_forward(model, anc_enc, des_codes,
+                                 dtype=np.float64)
     return float(-max(term))
 
 
@@ -473,7 +493,17 @@ def triplet_align_driver(aln: AlignmentParams) -> bool:
     utils.set_subst(aln)  # sets ECM pi etc.
     model = build_triplet_model(aln)
 
-    s0, s1, score = triplet_align(model, aln.seq(0), aln.seq(1))
+    anc, des = aln.seq(0), aln.seq(1)
+    # large pairs route through the batched device engine (identical f32
+    # arithmetic and tie-breaks, so strings match triplet_align exactly);
+    # small ones stay on the per-pair host sweep, which beats paying the
+    # jit/compile latency for a one-off CLI call
+    if model.codon and len(anc) * len(des) > 250_000:
+        from coati_tpu.triplet_wavefront import triplet_align_batch
+
+        s0, s1, score = triplet_align_batch(model, [(anc, des)])[0]
+    else:
+        s0, s1, score = triplet_align(model, anc, des)
     aln.data.seqs = [s0, s1]
     aln.data.score = score
 

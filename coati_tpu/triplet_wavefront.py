@@ -47,14 +47,17 @@ def _max3(a, b, c):
 
 
 @functools.partial(jax.jit, static_argnames=("n_cod",))
-def _triplet_rows(anc_cods, des_codes, logP, ins_emit, match_emit, cnuc_oh,
+def _triplet_rows(anc_cods, des_codes, ins_off, logP, match_emit, cnuc_int,
                   gc, *, n_cod: int):
     """Forward sweep over n_cod codon steps.
 
     anc_cods: [B, n_cod] int32 codon61 indices (padded arbitrarily)
     des_codes: [B, m] int32 in [0, 5)  (4 = N; padding arbitrary)
-    logP: [61, 61] f32; ins_emit: [5] f32; match_emit: [4, 5] f32
-    cnuc_oh: [3, 61, 4] f32 one-hot of nuc(codon, phase)
+    ins_off: [B, m + 1] f32 insertion run offsets, computed on HOST numpy
+        (cumsum grouping must match the host engine bit-for-bit; an
+        in-graph cumsum may reassociate on TPU)
+    logP: [61, 61] f32; match_emit: [4, 5] f32
+    cnuc_int: [3, 61] int32 nuc(codon, phase)
     gc: [4] f32 (ng, gs, go, ge)
 
     Returns boundaries [n_cod + 1, 3, B, Cc] f32 (lane-collapsed rows at
@@ -62,14 +65,7 @@ def _triplet_rows(anc_cods, des_codes, logP, ins_emit, match_emit, cnuc_oh,
     B, m = des_codes.shape
     Cc = m + 1
     ng, gs, go, ge = (gc[i] for i in range(4))
-
-    # insertion run offsets: ins_off[b, j] = cumsum(ins_emit)[j] + ge*j
-    e_ins = ins_emit[des_codes]  # [B, m]
-    cumE = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.float32), jnp.cumsum(e_ins, axis=1)], axis=1
-    )
-    j_f = jnp.arange(Cc, dtype=jnp.float32)[None, :]
-    ins_off = (cumE + ge * j_f)[:, None, :]  # [B, 1, Cc]
+    ins_off = ins_off[:, None, :]  # [B, 1, Cc]
     go_ge = go - ge
 
     def row_ins(M):
@@ -80,10 +76,11 @@ def _triplet_rows(anc_cods, des_codes, logP, ins_emit, match_emit, cnuc_oh,
             [pad, run[:, :, :-1] + (ins_off[:, :, 1:] + go_ge)], axis=2
         )
 
-    # per-phase match emissions: emit[p, b, lane, j] for j >= 1 uses
-    # des[j-1]; built as a one-hot contraction (MXU-friendly)
+    # per-phase match emissions emit[p, b, lane, j] = me[nuc(lane, p),
+    # des[b, j-1]]: pure gathers (an MXU one-hot contraction would round
+    # the f32 emission values through bf16, breaking host parity)
     ME = match_emit[:, des_codes]  # [4, B, m]
-    emit = jnp.einsum("pln,nbj->pblj", cnuc_oh, ME)  # [3, B, 61, m]
+    emit = jnp.transpose(ME[cnuc_int], (0, 2, 1, 3))  # [3, B, 61, m]
     zcol = jnp.zeros((3, B, 61, 1), jnp.float32)
     emit = jnp.concatenate([zcol, emit], axis=3)  # [3, B, 61, Cc]
 
@@ -133,8 +130,8 @@ def _triplet_rows(anc_cods, des_codes, logP, ins_emit, match_emit, cnuc_oh,
 
 
 @functools.partial(jax.jit, static_argnames=("n_cod",))
-def _triplet_traceback(grid, amax, anc_cods, des_codes, lens_t, lens_m,
-                       logP, ins_emit, match_emit, cnuc_int, gc, *,
+def _triplet_traceback(grid, amax, anc_cods, des_codes, ins_off, lens_t,
+                       lens_m, logP, match_emit, cnuc_int, gc, *,
                        n_cod: int):
     """Batched on-device traceback over the boundary grid.
 
@@ -160,13 +157,7 @@ def _triplet_traceback(grid, amax, anc_cods, des_codes, lens_t, lens_m,
     st0 = jnp.where(ti > jnp.maximum(tm, td), 2, st0).astype(jnp.int32)
     score = _max3(tm, td, ti)
 
-    # insertion offsets (identical arithmetic to the forward)
-    e_ins = ins_emit[des_codes]
-    cumE = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.float32), jnp.cumsum(e_ins, axis=1)], axis=1
-    )
-    j_f = jnp.arange(Cc, dtype=jnp.float32)[None, :]
-    ins_off = cumE + ge * j_f  # [B, Cc]
+    # insertion offsets arrive host-computed (identical to the forward's)
     go_ge = go - ge
 
     def row_ins2(M):  # [B, Cc]
@@ -277,9 +268,12 @@ def triplet_boundaries_batch(model, anc_encs, des_encs):
     anc_encs: list of [n_cod_i] codon61 arrays; des_encs: list of [m_i]
     code arrays. Returns the boundary grid [n_cod_max + 1, 3, B, Cc] as
     numpy f32 (rows beyond a pair's own n_cod/m are padding)."""
-    anc_p, des_p, _, _, tables, n_cod = _pack_batch(model, anc_encs, des_encs)
+    anc_p, des_p, _, _, ins_off, tables, n_cod = _pack_batch(
+        model, anc_encs, des_encs
+    )
     ys, _ = _triplet_rows(
-        jnp.asarray(anc_p), jnp.asarray(des_p), *tables, n_cod=n_cod
+        jnp.asarray(anc_p), jnp.asarray(des_p), jnp.asarray(ins_off),
+        *tables, n_cod=n_cod
     )
     return np.asarray(jax.device_get(ys))
 
@@ -298,18 +292,27 @@ def _pack_batch(model, anc_encs, des_encs):
         lens_t[i] = len(a)
         lens_m[i] = len(d)
 
-    cnuc_oh = np.zeros((3, 61, 4), np.float32)
-    for p in range(3):
-        cnuc_oh[p, np.arange(61), C.CODON_NUC[:, p]] = 1.0
+    # insertion run offsets on HOST numpy f32 — the same sequential cumsum
+    # and op grouping as triplet_hmm._DP, so host and device walks see
+    # bit-identical I-state arithmetic (a device-side cumsum may
+    # reassociate); columns past a pair's own length are prefix-consistent
+    # padding its walk never reads
+    ge32 = np.float32(model.ge)
+    e = model.ins_emit[des_p].astype(np.float32)  # [B, m]
+    cumE = np.concatenate(
+        [np.zeros((B, 1), np.float32), np.cumsum(e, axis=1, dtype=np.float32)],
+        axis=1,
+    )
+    ins_off = cumE + ge32 * np.arange(m + 1, dtype=np.float32)[None, :]
+
     gc = np.array([model.ng, model.gs, model.go, model.ge], np.float32)
     tables = (
         jnp.asarray(model.logP.astype(np.float32)),
-        jnp.asarray(model.ins_emit.astype(np.float32)),
         jnp.asarray(model.match_emit.astype(np.float32)),
-        jnp.asarray(cnuc_oh),
+        jnp.asarray(model.cnuc.astype(np.int32)),
         jnp.asarray(gc),
     )
-    return anc_p, des_p, lens_t, lens_m, tables, n_cod
+    return anc_p, des_p, lens_t, lens_m, ins_off, tables, n_cod
 
 
 def _decode_ops(anc, des, ops_b, n_ops, i_end, j_end):
@@ -360,7 +363,7 @@ def triplet_align_batch(model, pairs, traceback: str = "device"):
     enc = [encode_triplet_pair(model, a, d) for a, d in pairs]
     anc_encs = [e[0] for e in enc]
     des_encs = [e[1] for e in enc]
-    anc_p, des_p, lens_t, lens_m, tables, n_cod = _pack_batch(
+    anc_p, des_p, lens_t, lens_m, ins_off, tables, n_cod = _pack_batch(
         model, anc_encs, des_encs
     )
 
@@ -385,27 +388,31 @@ def triplet_align_batch(model, pairs, traceback: str = "device"):
                     [anc_p, np.zeros((pad_b, n_cod), np.int32)]
                 )
                 des_p = np.concatenate([des_p, np.zeros((pad_b, m), np.int32)])
+                ins_off = np.concatenate(
+                    [ins_off, np.broadcast_to(ins_off[:1], (pad_b, m + 1))]
+                )
             grid, amax = triplet_rows_pallas(
-                jnp.asarray(anc_p), jnp.asarray(des_p), *tables,
-                n_cod=n_cod, bc=bc,
+                jnp.asarray(anc_p), jnp.asarray(des_p), jnp.asarray(ins_off),
+                *tables, n_cod=n_cod, bc=bc,
             )
             if pad_b:
                 grid = grid[:, :, :B]
                 amax = amax[:, :, :B]
                 anc_p = anc_p[:B]
                 des_p = des_p[:B]
+                ins_off = ins_off[:B]
         else:
             grid, amax = _triplet_rows(
-                jnp.asarray(anc_p), jnp.asarray(des_p), *tables, n_cod=n_cod
+                jnp.asarray(anc_p), jnp.asarray(des_p), jnp.asarray(ins_off),
+                *tables, n_cod=n_cod
             )
 
     if traceback == "device":
-        logP_t, ins_emit_t, match_emit_t, _, gc_t = tables
-        cnuc_int = jnp.asarray(model.cnuc.astype(np.int32))
+        logP_t, match_emit_t, cnuc_int, gc_t = tables
         ops, s, i_end, j_end, score = _triplet_traceback(
             grid, amax, jnp.asarray(anc_p), jnp.asarray(des_p),
-            jnp.asarray(lens_t), jnp.asarray(lens_m),
-            logP_t, ins_emit_t, match_emit_t, cnuc_int, gc_t, n_cod=n_cod
+            jnp.asarray(ins_off), jnp.asarray(lens_t), jnp.asarray(lens_m),
+            logP_t, match_emit_t, cnuc_int, gc_t, n_cod=n_cod
         )
         ops = np.asarray(jax.device_get(ops))
         s = np.asarray(s)
@@ -434,12 +441,12 @@ def triplet_align_batch(model, pairs, traceback: str = "device"):
             for t in range(ncb + 1)
         ]
         Mb, Db, Ib = boundaries[ncb]
-        term = (
-            float(Mb[-1] + model.ng + model.ng),
-            float(Db[-1] + model.gs),
-            float(Ib[-1] + model.gs + model.ng),
-        )
         dp = _DP(model, ea, ed, dtype=np.float32)
+        term = (
+            Mb[-1] + dp.ng_ng,
+            Db[-1] + dp.gs,
+            Ib[-1] + dp.gs_ng,
+        )
         out.append(
             traceback_from_boundaries(model, anc, des, term, boundaries, dp)
         )

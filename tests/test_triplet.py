@@ -282,19 +282,17 @@ def test_triplet_device_batch_matches_host(tri_mg, traceback):
     got = triplet_align_batch(tri_mg, pairs, traceback=traceback)
     assert (got[0][0], got[0][1]) == ("CTCTGGATAGTG", "CT----ATAGTG")
     assert got[0][2] == pytest.approx(9.316000938415527, abs=2e-3)
-    n_string_diff = 0
     for (anc, des), (s0, s1, sc) in zip(pairs, got):
         h0, h1, hsc = triplet_align(tri_mg, anc, des)
+        # one canonical gap placement: device and host engines share the
+        # same f32 arithmetic (op grouping, host-side ins_off, gather
+        # emissions), so strings must agree EXACTLY, ties included
+        assert (s0, s1) == (h0, h1), (anc, des)
         assert sc == pytest.approx(hsc, abs=2e-3), (anc, des)
-        # device alignment must ATTAIN the optimal score (independent
-        # fixed-path scorer); exact string ties may resolve differently
-        # between the f32 device and f64 host boundary values
+        # and the alignment attains the optimal score (independent scorer)
         assert triplet_path_score(tri_mg, s0, s1) == pytest.approx(
             hsc, abs=2e-3
         ), (anc, des)
-        if (s0, s1) != (h0, h1):
-            n_string_diff += 1
-    assert n_string_diff <= len(pairs) // 10  # ties only, not systematic
 
 
 def test_triplet_device_batch_ecm_and_dna():
@@ -316,6 +314,48 @@ def test_triplet_device_batch_ecm_and_dna():
             assert sc == pytest.approx(hsc, abs=2e-3)
 
 
+def test_cli_tri_large_pair_routes_through_batch_engine(tri_mg, tmp_path,
+                                                        monkeypatch):
+    """A multi-hundred-nt CLI triplet pair uses triplet_align_batch (the
+    accelerator path), and its output equals the host engine exactly."""
+    import random
+
+    import coati_tpu.triplet_wavefront as tw
+    from coati_tpu.constants import CODONS61
+
+    rng = random.Random(3)
+    anc = "".join(rng.choice(CODONS61) for _ in range(180))  # 540 nt
+    des = list(anc)
+    for _ in range(30):
+        des[rng.randrange(len(des))] = rng.choice("ACGT")
+    des = "".join(des)[:-9]  # 531 nt; 540*531 cells > 250k threshold
+
+    calls = []
+    orig = tw.triplet_align_batch
+
+    def spy(model, pairs, **kw):
+        calls.append(len(pairs))
+        return orig(model, pairs, **kw)
+
+    monkeypatch.setattr(tw, "triplet_align_batch", spy)
+    inp = tmp_path / "in.fasta"
+    inp.write_text(f">1\n{anc}\n>2\n{des}\n")
+    out = tmp_path / "out.fasta"
+    assert main(["alignpair", str(inp), "-m", "tri-mg", "-o", str(out)]) == 0
+    assert calls == [1], "large pair did not route through the batch engine"
+
+    h0, h1, _ = triplet_align(tri_mg, anc, des)
+    seqs = {}
+    name = None
+    for line in out.read_text().splitlines():
+        if line.startswith(">"):
+            name = line[1:]
+            seqs[name] = ""
+        else:
+            seqs[name] += line  # fasta writer wraps at 60 cols
+    assert seqs == {"1": h0, "2": h1}
+
+
 def test_triplet_pallas_forward_bit_exact(tri_mg):
     """Pallas triplet forward (interpret mode) is bit-identical to the XLA
     scan: boundary grid AND argmax-lane planes."""
@@ -335,14 +375,15 @@ def test_triplet_pallas_forward_bit_exact(tri_mg):
         des = "".join(rng.choice("ACGTN") for _ in range(rng.randint(1, 25)))
         pairs.append((anc, des))
     enc = [encode_triplet_pair(tri_mg, a, d) for a, d in pairs]
-    anc_p, des_p, _, _, tables, n_cod = tw._pack_batch(
+    anc_p, des_p, _, _, ins_off, tables, n_cod = tw._pack_batch(
         tri_mg, [e[0] for e in enc], [e[1] for e in enc]
     )
     aj, dj = jnp.asarray(anc_p), jnp.asarray(des_p)
+    io = jnp.asarray(ins_off)
 
-    g1, a1 = tw._triplet_rows(aj, dj, *tables, n_cod=n_cod)
+    g1, a1 = tw._triplet_rows(aj, dj, io, *tables, n_cod=n_cod)
     g2, a2 = triplet_rows_pallas(
-        aj, dj, *tables, n_cod=n_cod, bc=4, interpret=True
+        aj, dj, io, *tables, n_cod=n_cod, bc=4, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
