@@ -202,6 +202,21 @@ def main() -> int:
     print(f"# triplet: {n_tri} pairs x ~{tri_len} nt, "
           f"{tri_rate/1e6:.0f} Mcells/s", file=sys.stderr)
 
+    # triplet beyond the old 1024-slot Pallas envelope (multi-knt
+    # descendants; the reference FST path dies at ~2 knt)
+    n_tri_l = 2 if QUICK else 16
+    tri_l_len = 999 if QUICK else 2997
+    tri_l_pairs = make_pairs(n_tri_l, rng, length_mix=[(tri_l_len, 1.0)])
+    _ = triplet_align_batch(tri_model, tri_l_pairs)  # compile
+    t0 = time.time()
+    tri_l_res = triplet_align_batch(tri_model, tri_l_pairs)
+    dt_tri_l = time.time() - t0
+    tri_l_cells = sum(len(a) * len(d) for a, d in tri_l_pairs)
+    assert all(np.isfinite(sc) for _, _, sc in tri_l_res)
+    tri_l_rate = tri_l_cells / dt_tri_l
+    print(f"# triplet-long: {n_tri_l} pairs x ~{tri_l_len} nt, "
+          f"{tri_l_rate/1e6:.0f} Mcells/s", file=sys.stderr)
+
     # ---- secondary: one long pair (segmented O(n)-memory traceback) ---------
     from coati_tpu.align.engine import viterbi_align_batch as _vab
     from coati_tpu.utils import encode_marginal as _encm
@@ -235,6 +250,8 @@ def main() -> int:
         "batch_seconds": round(dt, 3),
         "baseline_cells_per_sec": round(base_rate, 0) if base_rate else None,
         "triplet_cells_per_sec": round(tri_rate, 0),
+        "triplet_long_cells_per_sec": round(tri_l_rate, 0),
+        "triplet_long_nt": tri_l_len,
         "longpair_cells_per_sec": round(long_rate, 0),
         "longpair_nt": long_nt,
         "device": str(dev),

@@ -68,18 +68,20 @@ def _devices_for(cells: int) -> list:
     import os
 
     force = os.environ.get("COATI_TPU_FORCE_PLATFORM", "")
+    # local_devices, not devices: under jax.distributed each process may
+    # only dispatch to its own chips (global devices are non-addressable)
     if force == "cpu" or (not force and cells < SMALL_CALL_CELLS):
         # touch only the CPU backend: initializing a (remote) TPU backend
         # can cost seconds-to-minutes and is wasted on small calls
         try:
-            devs = jax.devices("cpu")
+            devs = jax.local_devices(backend="cpu")
         except RuntimeError:
-            devs = jax.devices()
+            devs = jax.local_devices()
     else:
-        devs = jax.devices()
+        devs = jax.local_devices()
         if devs[0].platform == "cpu":
             try:
-                devs = jax.devices("cpu")
+                devs = jax.local_devices(backend="cpu")
             except RuntimeError:
                 pass
     cap = int(os.environ.get("COATI_TPU_MAX_DEVICES", "0"))
@@ -158,6 +160,8 @@ PALLAS_BC = int(_os.environ.get("COATI_TPU_PALLAS_BC", "32"))
 # Measured on v5e (tools/tune_kernel.py): du=8 is +15-20% on short buckets
 # (C<=512), flat on long ones; du*bc*C above ~360 KB fails to compile.
 PALLAS_DU = int(_os.environ.get("COATI_TPU_PALLAS_DU", "8"))
+# pairs stacked per batch-row along the diagonal axis (0/1 disables)
+PALLAS_STACK_R = int(_os.environ.get("COATI_TPU_PALLAS_STACK_R", "8"))
 _DU_VMEM_SLOTS = 32 * 4 * 2816  # proven envelope: bc=32, C=2816, du=4
 
 
@@ -190,17 +194,34 @@ def _pallas_bc_for(C: int, want_bp: bool) -> int | None:
 
 def fused_align_ops_impl(aseq, bseq, la, lb, table32, gc, *, k, use_pallas,
                          code_cols=tuple(range(15)), bc=PALLAS_BC,
-                         du=1):
+                         du=1, stack_R=1):
     """Fused DP fill + on-device traceback — the per-device alignment step.
 
     Shared by the single-device jit (below) and the shard_map mesh path
     (parallel/mesh.py), so every execution mode runs the identical
-    Pallas/XLA kernel."""
+    Pallas/XLA kernel.
+
+    stack_R > 1 (Pallas only): R pairs stacked per batch-row along the
+    diagonal axis (kernels/wavefront_pallas.wavefront_pallas_stacked) —
+    ~2x fewer wasted slot-cells; bit-identical results."""
     from coati_tpu.align.wavefront import (
         traceback_ops_impl,
         wavefront_impl,
     )
 
+    if use_pallas and stack_R > 1:
+        from coati_tpu.kernels.wavefront_pallas import (
+            wavefront_pallas_stacked,
+        )
+
+        corners, bp, d_base, row_idx, _ = wavefront_pallas_stacked(
+            aseq, bseq, la, lb, table32, gc, k=k, R=stack_R, bc=bc,
+            code_cols=code_cols, du=du,
+        )
+        ops, (_, score) = traceback_ops_impl(
+            bp, corners, la, lb, k=k, d_base=d_base, row_idx=row_idx
+        )
+        return ops, score
     if use_pallas:
         from coati_tpu.kernels.wavefront_pallas import wavefront_pallas
 
@@ -221,13 +242,14 @@ def fused_align_ops_impl(aseq, bseq, la, lb, table32, gc, *, k, use_pallas,
 # high latency: the packed bp stack never leaves the device, and only the
 # op sequences + scores are fetched.
 _align_step_jit = functools.partial(
-    jax.jit, static_argnames=("k", "use_pallas", "code_cols", "bc", "du")
+    jax.jit,
+    static_argnames=("k", "use_pallas", "code_cols", "bc", "du", "stack_R"),
 )(fused_align_ops_impl)
 
 
 def fused_align_ops_packed_impl(aseq, bseq, la, lb, table32, gc, *, k,
                                 use_pallas, code_cols=tuple(range(15)),
-                                bc=PALLAS_BC, du=1):
+                                bc=PALLAS_BC, du=1, stack_R=1):
     """fused_align_ops_impl with a host-link-lean output contract.
 
     Inputs may arrive narrow (uint16 ancestor / uint8 descendant codes) —
@@ -242,7 +264,7 @@ def fused_align_ops_packed_impl(aseq, bseq, la, lb, table32, gc, *, k,
     lb = lb.astype(jnp.int32)
     ops, score = fused_align_ops_impl(
         aseq, bseq, la, lb, table32, gc, k=k, use_pallas=use_pallas,
-        code_cols=code_cols, bc=bc, du=du,
+        code_cols=code_cols, bc=bc, du=du, stack_R=stack_R,
     )
     S = ops.shape[0]
     S4 = -(-S // 4) * 4
@@ -253,7 +275,8 @@ def fused_align_ops_packed_impl(aseq, bseq, la, lb, table32, gc, *, k,
 
 
 _align_step_packed_jit = functools.partial(
-    jax.jit, static_argnames=("k", "use_pallas", "code_cols", "bc", "du")
+    jax.jit,
+    static_argnames=("k", "use_pallas", "code_cols", "bc", "du", "stack_R"),
 )(fused_align_ops_packed_impl)
 
 
@@ -294,6 +317,18 @@ def _fetch_packed(packed_d, nsteps, score_d, n_real):
     return ops, score
 
 
+_compile_probe_warned = set()
+
+
+def _is_compile_failure(exc) -> bool:
+    """Heuristic: a Pallas/Mosaic/XLA compile-time failure (VMEM overflow,
+    window too large, remote-compile 500) rather than a user error."""
+    s = f"{type(exc).__name__}: {exc}"
+    needles = ("compile", "Mosaic", "RESOURCE_EXHAUSTED", "vmem", "VMEM",
+               "INTERNAL")
+    return any(n in s for n in needles)
+
+
 def _align_step(aseq, bseq, la, lb, table32, gc, k, dev, fetch=True,
                 code_cols=None):
     """Run one fused chunk.
@@ -302,35 +337,93 @@ def _align_step(aseq, bseq, la, lb, table32, gc, k, dev, fetch=True,
     numpy; fetch=False returns the raw device handles
     (packed_ops, nsteps, score) without blocking (async launch) — pass them
     to _fetch_packed. table32/gc may be numpy or already-device arrays
-    (device-resident reuse avoids a re-transfer per chunk)."""
-    B, NA = aseq.shape
+    (device-resident reuse avoids a re-transfer per chunk).
+
+    The hand-tuned (bc, du, stack_R) envelopes can shift with new shapes or
+    toolchains; instead of hard-failing, a Pallas compile failure probes
+    progressively smaller knobs (halve du, drop stacking, halve bc) down to
+    the XLA fallback, logging once per shape."""
+    B0, NA = aseq.shape
     NB = bseq.shape[1]
     C = ((NB + k + 127) // 128) * 128
-    bc = _pallas_bc_for(C, want_bp=True)
-    use_pallas = (
-        getattr(dev, "platform", "cpu") not in ("cpu",) and bc is not None
+    bc0 = _pallas_bc_for(C, want_bp=True)
+    use_pallas0 = (
+        getattr(dev, "platform", "cpu") not in ("cpu",) and bc0 is not None
     )
-    pad_b = (-B) % bc if use_pallas else 0
-    if pad_b:
-        aseq = np.concatenate([aseq, np.zeros((pad_b, NA), aseq.dtype)])
-        bseq = np.concatenate([bseq, np.zeros((pad_b, NB), bseq.dtype)])
-        la = np.concatenate([la, np.full(pad_b, 3 * k, np.int32)])
-        lb = np.concatenate([lb, np.full(pad_b, k, np.int32)])
-    if code_cols is None:
-        code_cols = _code_cols_for(bseq)
-    # narrow input dtypes: uint16 ancestor codes (valid while the stacked
-    # table has < 65536 rows) and uint8 descendant nt16 codes
-    if isinstance(aseq, np.ndarray) and table32.shape[0] <= 65535:
-        aseq = aseq.astype(np.uint16)
-    if isinstance(bseq, np.ndarray):
-        bseq = bseq.astype(np.uint8)
-    packed, score = _align_step_packed_jit(
-        jnp.asarray(aseq), jnp.asarray(bseq), jnp.asarray(la),
-        jnp.asarray(lb), jnp.asarray(table32), jnp.asarray(gc),
-        k=k, use_pallas=use_pallas, code_cols=code_cols,
-        bc=bc if use_pallas else PALLAS_BC,
-        du=_du_for(C, bc) if use_pallas else 1,
-    )
+
+    def attempt(use_pallas, bc, du, stack_R):
+        a, b, lva, lvb = aseq, bseq, la, lb
+        if stack_R > 1:
+            rows = _round_up(-(-B0 // stack_R), bc)
+            pad_b = stack_R * rows - B0
+        else:
+            pad_b = (-B0) % bc if use_pallas else 0
+        if pad_b:
+            a = np.concatenate([a, np.zeros((pad_b, NA), a.dtype)])
+            b = np.concatenate([b, np.zeros((pad_b, NB), b.dtype)])
+            lva = np.concatenate([lva, np.full(pad_b, 3 * k, np.int32)])
+            lvb = np.concatenate([lvb, np.full(pad_b, k, np.int32)])
+        cc = code_cols if code_cols is not None else _code_cols_for(b)
+        # narrow input dtypes: uint16 ancestor codes (valid while the
+        # stacked table has < 65536 rows) and uint8 descendant nt16 codes
+        if isinstance(a, np.ndarray) and table32.shape[0] <= 65535:
+            a = a.astype(np.uint16)
+        if isinstance(b, np.ndarray):
+            b = b.astype(np.uint8)
+        return _align_step_packed_jit(
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(lva),
+            jnp.asarray(lvb), jnp.asarray(table32), jnp.asarray(gc),
+            k=k, use_pallas=use_pallas, code_cols=cc,
+            bc=bc if use_pallas else PALLAS_BC,
+            du=du if use_pallas else 1, stack_R=stack_R,
+        )
+
+    # candidate ladder: tuned config first, then progressively smaller.
+    # stack_R: the largest power-of-two R whose dummy-pair padding stays
+    # marginal (R*roundup(ceil(B/R), bc) - B small) — a poorly chosen R
+    # can cost more in padded rows than stacking saves in slot-cells
+    stack_R0 = 1
+    if use_pallas0 and PALLAS_STACK_R > 1:
+        for r in (8, 4, 2):
+            if r > PALLAS_STACK_R:
+                continue
+            rows = _round_up(-(-B0 // r), bc0)
+            pad = r * rows - B0
+            if rows >= bc0 and pad <= max(bc0, int(0.15 * B0)):
+                stack_R0 = r
+                break
+    ladder = []
+    if use_pallas0:
+        du0 = _du_for(C, bc0)
+        ladder.append((True, bc0, du0, stack_R0))
+        if du0 > 1:
+            ladder.append((True, bc0, max(1, du0 // 2), stack_R0))
+        if stack_R0 > 1:
+            ladder.append((True, bc0, max(1, du0 // 2), 1))
+        if bc0 > 8:
+            ladder.append((True, max(8, bc0 // 2), 1, 1))
+    ladder.append((False, PALLAS_BC, 1, 1))
+
+    packed = score = None
+    for li, (up, bc_t, du_t, sr_t) in enumerate(ladder):
+        try:
+            packed, score = attempt(up, bc_t, du_t, sr_t)
+            break
+        except Exception as exc:
+            last = li == len(ladder) - 1
+            if last or not _is_compile_failure(exc):
+                raise
+            key = (NA, NB, k, up, bc_t, du_t, sr_t)
+            if key not in _compile_probe_warned:
+                _compile_probe_warned.add(key)
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "pallas config %s failed to compile for shape "
+                    "NA=%d NB=%d k=%d; probing smaller config (%s)",
+                    (bc_t, du_t, sr_t), NA, NB, k,
+                    type(exc).__name__,
+                )
     # trim the fetch to a host-known walk-length bound (every traceback step
     # consumes an ancestor or descendant symbol, so steps <= la + lb + 1);
     # the slice dispatches asynchronously NOW, so the fetch loop later pays
@@ -342,7 +435,7 @@ def _align_step(aseq, bseq, la, lb, table32, gc, k, dev, fetch=True,
     nsteps = min(nsteps, rows * 4)
     if not fetch:
         return packed, nsteps, score
-    ops, score_h = _fetch_packed(packed, nsteps, score, B)
+    ops, score_h = _fetch_packed(packed, nsteps, score, B0)
     # forward->backward: callers of the fetch=True path expect the raw
     # backward-ordered buffer (historical contract)
     return ops[::-1], score_h

@@ -34,7 +34,10 @@ import numpy as np
 
 from coati_tpu.constants import F32_LOWEST
 
-LOWEST = jnp.float32(F32_LOWEST)
+# np (not jnp) scalar: a module-level jnp constant would initialize the
+# XLA backend at import time, breaking jax.distributed.initialize for
+# multi-host runs (it must run before any backend touch)
+LOWEST = np.float32(F32_LOWEST)
 
 
 def _lse(a, b):
@@ -266,7 +269,7 @@ wavefront = functools.partial(
 
 
 def traceback_ops_impl(bp, corners, lens_a, lens_b, *, k: int,
-                       u_space: bool = False):
+                       u_space: bool = False, d_base=None, row_idx=None):
     """Device-side vectorized traceback walk.
 
     The per-pair walk is sequential, but all pairs in the batch advance one
@@ -277,29 +280,38 @@ def traceback_ops_impl(bp, corners, lens_a, lens_b, *, k: int,
     u_space: bp produced by the Pallas kernel stores cell (i, j) at column
     i mod C instead of j.
 
+    d_base / row_idx: for diagonal-stacked bp (wavefront_pallas_stacked):
+    pair p's cells live at diagonals d_base[p] + i + j in bp row
+    row_idx[p]; its walk ends at i == d_base[p] + k - 1.
+
     Returns (ops, (start_state, score)): ops[s, p] is the s-th op walking
     BACKWARD from the corner (0=match, 1=delete, 2=insert, -1=inactive).
     """
     cM, cD, cI = corners
-    Dtot, B, C = bp.shape
+    Dtot = bp.shape[0]
+    B = cM.shape[0]
+    C = bp.shape[2]
     max_steps = Dtot - 1
 
     st0 = _argmax_mdi(cM, cD, cI).astype(jnp.int32)
     score = jnp.maximum(cM, jnp.maximum(cD, cI))
-    i0 = lens_a + jnp.int32(k - 1)
+    if d_base is None:
+        d_base = jnp.zeros((B,), jnp.int32)
+    i_end = d_base + jnp.int32(k - 1)
+    i0 = d_base + lens_a + jnp.int32(k - 1)
     j0 = lens_b + jnp.int32(k - 1)
-    rows = jnp.arange(B, dtype=jnp.int32)
+    rows = jnp.arange(B, dtype=jnp.int32) if row_idx is None else row_idx
 
     ops0 = jnp.full((max_steps, B), -1, dtype=jnp.int8)
 
     def cond(carry):
         i, j, st, s, ops = carry
         return ((s < max_steps)
-                & jnp.any((i > k - 1) | (j > k - 1)))
+                & jnp.any((i > i_end) | (j > k - 1)))
 
     def body(carry):
         i, j, st, s, ops = carry
-        active = (i > k - 1) | (j > k - 1)
+        active = (i > i_end) | (j > k - 1)
         col = jax.lax.rem(i, C) if u_space else j
         code = bp[i + j, rows, col].astype(jnp.int32)
         nxt_m = code & 3

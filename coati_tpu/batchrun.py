@@ -71,6 +71,7 @@ def batch_align(
     manifest: str = "",
     chunk: int = 2048,
     meter=None,
+    index_offset: int = 0,
 ) -> int:
     """Align `pairs` [(name_a, seq_a, name_b, seq_b), ...] under the marginal
     model in aln; write one JSON line per pair to out_stream; record
@@ -119,7 +120,7 @@ def batch_align(
                         ea, eb = utils.encode_marginal(d.seqs[0], d.seqs[1])
                 except ValueError as exc:
                     out_stream.write(json.dumps(
-                        {"pair": i, "error": str(exc)}) + "\n")
+                        {"pair": i + index_offset, "error": str(exc)}) + "\n")
                     if mf:
                         mf.write(f"{i}\n")
                     continue
@@ -161,7 +162,7 @@ def batch_align(
                             seqs=[r.seq0, r.seq1], score=r.score, stops=st)
                 utils.restore_end_stops(d, aln.gap)
                 out_stream.write(json.dumps({
-                    "pair": i,
+                    "pair": i + index_offset,
                     "alignment": {d.names[0]: d.seqs[0], d.names[1]: d.seqs[1]},
                     "score": float(np.float32(d.score)),
                 }) + "\n")
@@ -200,8 +201,17 @@ def cmd_batch(argv) -> int:
                    help="Capture a jax.profiler trace into this directory")
     p.add_argument("--multihost", action="store_true",
                    help="Pod-slice mode: init jax.distributed, align only "
-                   "this host's shard of the pair stream, suffix outputs "
-                   "with the process index")
+                   "this host's shard of the pair stream, then merge: "
+                   "scores are allgathered into a global manifest and "
+                   "process 0 concatenates the per-host shard files when "
+                   "they share a filesystem")
+    p.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator address "
+                   "(host:port; default: env/platform autodetection)")
+    p.add_argument("--nproc", type=int, default=None,
+                   help="jax.distributed process count")
+    p.add_argument("--pid", type=int, default=None,
+                   help="jax.distributed process index")
     args = p.parse_args(argv)
 
     aln = AlignmentParams()
@@ -215,17 +225,22 @@ def cmd_batch(argv) -> int:
     from coati_tpu.profiling import ThroughputMeter, trace
 
     pairs = read_pairs_fasta(args.input)
+    output_base = args.output
+    n_total = len(pairs)
+    shard_lo = 0
     if args.multihost:
-        # each host aligns a contiguous shard; result collation stays
-        # host-local (SURVEY section 2.3 P3 / parallel/multihost.py)
+        # each host aligns a contiguous shard; collation below merges
+        # (SURVEY section 2.3 P3 / parallel/multihost.py)
         import jax
 
         from coati_tpu.parallel.multihost import (
             host_shard,
             init_distributed,
+            shard_bounds,
         )
 
-        init_distributed()
+        init_distributed(args.coordinator, args.nproc, args.pid)
+        shard_lo, _ = shard_bounds(n_total)
         pairs = host_shard(pairs)
         pidx = jax.process_index()
         if args.output:
@@ -238,10 +253,27 @@ def cmd_batch(argv) -> int:
     try:
         with trace(args.trace_dir or None):
             n = batch_align(aln, pairs, out, manifest=args.manifest,
-                            meter=meter)
+                            meter=meter, index_offset=shard_lo)
     finally:
         if args.output:
             out.close()
+
+    if args.multihost:
+        from coati_tpu.parallel.multihost import merge_multihost_outputs
+
+        local_scores = np.full(len(pairs), np.nan, np.float32)
+        if args.output:
+            with open(args.output) as f:
+                for line in f:
+                    row = json.loads(line)
+                    if "score" in row:
+                        local_scores[row["pair"] - shard_lo] = row["score"]
+        _, merged = merge_multihost_outputs(
+            output_base, local_scores, n_total
+        )
+        if merged:
+            print(f"merged {n_total}-pair output -> {merged}",
+                  file=sys.stderr)
     stats = meter.summary()
     print(f"aligned {n} pairs: {stats['cells_per_sec'] / 1e6:.0f} Mcells/s, "
           f"{stats['pairs_per_sec']:.1f} pairs/s "

@@ -189,6 +189,12 @@ def triplet_rows_pallas(anc_cods, des_codes, ins_off, logP, match_emit,
             jax.ShapeDtypeStruct((n_cod, B, 3, Cc), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((3, bc, Cc), jnp.float32)],
+        # the resident [3, bc, 64, Cc] emission block alone is ~3 MB per
+        # 1k slots (x2 for pipelining) — the default 16 MB scoped-vmem cap
+        # was the old 1024-slot envelope; v5e has 128 MB physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(Gcod, emit, ins_off_p, gc4)
     bnd = jnp.transpose(bnd, (0, 2, 1, 3))

@@ -437,6 +437,361 @@ def wavefront_pallas(
     return (cM, cD, cI), aux
 
 
+# --- diagonal-stacked sweep: R pairs per batch-row ---------------------------
+# The plain wavefront wastes ~60% of its slot-cells: diagonal d of one
+# pair's (NA+k)x(NB+k) matrix touches only part of the C-lane row, and the
+# sweep runs NA+NB+2k-1 diagonals for NA*NB cells. Stacking R pairs along
+# the DIAGONAL axis fills the pipeline: pair r of a row occupies diagonals
+# [r*P, r*P + Dtot) (P >= NA+k, so the parallelograms tile), its ancestor
+# rows simply concatenate into the G stream (slot j at diagonal d holds
+# stream[d - j] = pair r's row i_loc = d - j - r*P), and utilization rises
+# from ~40% to R*(NA+k)/((R+1)*P) ~ 80-90%.
+#
+# What changes vs the plain kernel:
+#   - descendant one-hots: slot j's pair changes over the sweep, so THREE
+#     banks of [nc, bc, C] rotate through VMEM via block index maps
+#     (P > (C + du - 2)/2 bounds the pairs alive in one grid step to 3),
+#     and the emission selects per cell by r = (d - j) // P;
+#   - corner capture: same-row pairs may share a corner slot, so captures
+#     go to parity-alternating cap banks, exported once per era (P
+#     diagonals) to an [R, 3, bc, C] output — pair r's corner lands in era
+#     r or r+1 and its bank is untouched by pair r+2 until after export;
+#   - margins/body tables use the pair-local row i_loc = (d-j) - r*P.
+# Every cell sees bit-identical inputs to the plain kernel, so results
+# (including tie-breaks) are exact.
+
+
+def _make_kernel_stacked(k: int, NA: int, C: int, BC: int, ring: int,
+                         nc: int, du: int, n_steps: int, P: int, R: int):
+    Pdu = P // du  # grid steps per era (P is a multiple of du)
+
+    def kernel(
+        grow_ref,   # [du, BC, nc] G-stream rows (concat of R ancestors)
+        ohHI_ref,   # [1, nc, BC, C] descendant one-hot, bank r_hi
+        ohMID_ref,  # [1, nc, BC, C] bank r_hi - 1
+        ohLO_ref,   # [1, nc, BC, C] bank r_hi - 2
+        cdHI_ref,   # [1, BC, C] int32 corner-diag-at-corner-slot, bank r_hi
+        cdMID_ref,  # [1, BC, C]
+        cdLO_ref,   # [1, BC, C]
+        body_ref,   # [du, 1, C]
+        margM_ref,  # [du, 1, C]
+        margD_ref,  # [du, 1, C]
+        margI_ref,  # [du, 1, C]
+        gc_ref,     # [1, 4] SMEM
+        bp_ref,     # out [du, BC, C] uint8
+        caps_ref,   # out [1, 3, BC, C] f32 (per-era corner export)
+        Mr_ref, Dr_ref, Ir_ref,  # scratch rings
+        gwin_ref,   # scratch [nc, BC, C]
+        capE_ref,   # scratch [3, BC, C] even-parity pair captures
+        capO_ref,   # scratch [3, BC, C] odd-parity pair captures
+    ):
+        g = pl.program_id(1)
+        ng = gc_ref[0, 0]
+        gs = gc_ref[0, 1]
+        go = gc_ref[0, 2]
+        ge = gc_ref[0, 3]
+        gek1 = ge * jnp.float32(k - 1)
+        gek = ge * jnp.float32(k)
+
+        @pl.when(g == 0)
+        def _init():
+            low3 = jnp.full((3, BC, C), LOWEST, jnp.float32)
+            capE_ref[...] = low3
+            capO_ref[...] = low3
+            gwin_ref[...] = jnp.zeros((nc, BC, C), jnp.float32)
+            low = jnp.full((ring, BC, C), LOWEST, jnp.float32)
+            Mr_ref[...] = low
+            Dr_ref[...] = low
+            Ir_ref[...] = low
+
+        j_i = jax.lax.broadcasted_iota(jnp.int32, (BC, C), 1)
+        j3 = jax.lax.broadcasted_iota(jnp.int32, (nc, BC, C), 2)
+        win = gwin_ref[...]
+        r_hi = (g * du + du - 1) // P  # unclamped bank index of this step
+
+        for t in range(du):
+            d = g * du + t
+
+            fresh = grow_ref[t]  # [BC, nc]
+            win = pltpu.roll(win, 1, axis=2)
+            fresh_t = jnp.transpose(fresh, (1, 0))[:, :, None]
+            win = jnp.where(j3 == 0, fresh_t, win)
+
+            # --- per-cell pair index & bank masks (shared by emission
+            # and capture): r = (d - j) // P, at most 3 banks alive
+            r_cell = (d - j_i) // P  # [BC, C] (identical rows)
+            m_hi = r_cell == r_hi
+            m_mid = r_cell == (r_hi - 1)
+
+            oh = jnp.where(
+                m_hi[None], ohHI_ref[0],
+                jnp.where(m_mid[None], ohMID_ref[0], ohLO_ref[0]),
+            )
+            sub = oh[0] * win[0]
+            for c in range(1, nc):
+                sub = sub + oh[c] * win[c]
+
+            def ring_at(ref, dd):
+                idx = jax.lax.rem(dd + ring * 4, ring)
+                return ref[pl.ds(idx, 1)][0]
+
+            p2M = ring_at(Mr_ref, d - 2)
+            p2D = ring_at(Dr_ref, d - 2)
+            p2I = ring_at(Ir_ref, d - 2)
+            pkM = ring_at(Mr_ref, d - k)
+            pkD = ring_at(Dr_ref, d - k)
+            pkI = ring_at(Ir_ref, d - k)
+
+            p2Ms = _shift_right(p2M, 1)
+            p2Ds = _shift_right(p2D, 1)
+            p2Is = _shift_right(p2I, 1)
+            pkMs = _shift_right(pkM, k)
+            pkIs = _shift_right(pkI, k)
+
+            tmm = (p2Ms + ng) + ng
+            tdm = p2Ds + gs
+            tim = (p2Is + gs) + ng
+            tmd = (pkM + ng) + go
+            tid = (pkI + gs) + go
+            tmi = pkMs + go
+            m2m = tmm + sub
+            d2m = tdm + sub
+            i2m = tim + sub
+            m2d = tmd + gek1
+            i2d = tid + gek1
+            d2d = pkD + gek
+            m2i = tmi + gek1
+            i2i = pkIs + gek
+
+            M = jnp.maximum(jnp.maximum(m2m, d2m), i2m)
+            D = jnp.maximum(jnp.maximum(m2d, d2d), i2d)
+            I = jnp.maximum(m2i, i2i)
+
+            body = body_ref[t, 0] > 0.5  # [C]
+            M = jnp.where(body[None, :], M, margM_ref[t, 0][None, :])
+            D = jnp.where(body[None, :], D, margD_ref[t, 0][None, :])
+            I = jnp.where(body[None, :], I, margI_ref[t, 0][None, :])
+
+            slot = jax.lax.rem(d, ring)
+            Mr_ref[pl.ds(slot, 1)] = M[None]
+            Dr_ref[pl.ds(slot, 1)] = D[None]
+            Ir_ref[pl.ds(slot, 1)] = I[None]
+
+            bp_m = _argmax_mdi_i32(tmm, tdm, tim)
+            bp_d = _argmax_mdi_i32(tmd, pkD + ge, tid)
+            bp_i = jnp.where(tmi > pkIs + ge, 0, 2)
+            bp_ref[t] = (bp_m | (bp_d << 2) | (bp_i << 4)).astype(jnp.uint8)
+
+            # --- corner capture into the parity bank of the cell's pair
+            cd_eff = jnp.where(
+                m_hi, cdHI_ref[0],
+                jnp.where(m_mid, cdMID_ref[0], cdLO_ref[0]),
+            )
+            sel = cd_eff == d
+            par_even = (r_cell & 1) == 0
+            selE = sel & par_even
+            selO = sel & (~par_even)
+            capE_ref[0] = jnp.where(selE, M, capE_ref[0])
+            capE_ref[1] = jnp.where(selE, D, capE_ref[1])
+            capE_ref[2] = jnp.where(selE, I, capE_ref[2])
+            capO_ref[0] = jnp.where(selO, M, capO_ref[0])
+            capO_ref[1] = jnp.where(selO, D, capO_ref[1])
+            capO_ref[2] = jnp.where(selO, I, capO_ref[2])
+
+        gwin_ref[...] = win
+
+        # --- era export: at the last step of era e >= 1, pair e-1's bank
+        # ((e-1) & 1) is complete -> flush it to output block e-1 and clear
+        # it for pair e+1
+        @pl.when(((g + 1) % Pdu == 0) & (g >= 2 * Pdu - 1))
+        def _export():
+            e = (g * du) // P  # current era (>= 1 here)
+            low3 = jnp.full((3, BC, C), LOWEST, jnp.float32)
+            is_even = ((e - 1) & 1) == 0
+            capE = capE_ref[...]
+            capO = capO_ref[...]
+            caps_ref[0] = jnp.where(is_even, capE, capO)
+            capE_ref[...] = jnp.where(is_even, low3, capE)
+            capO_ref[...] = jnp.where(is_even, capO, low3)
+
+    return kernel
+
+
+def _diag_tables_stacked(k, NA, C, P, R, Dswp, gap_consts):
+    """Per-diagonal body mask and margin values for the stacked layout:
+    identical f32 formulas to _diag_tables with i replaced by the
+    pair-local row i_loc = (d - j) - clamp((d - j) // P, 0, R-1) * P."""
+    ng, gs, go, ge = (gap_consts[i] for i in range(4))
+    d = jnp.arange(Dswp, dtype=jnp.int32)[:, None]
+    j = jnp.arange(C, dtype=jnp.int32)[None, :]
+    r = jnp.clip((d - j) // P, 0, R - 1)
+    i = (d - j) - r * P
+    body = ((i >= k) & (i < NA + k) & (j >= k)).astype(jnp.float32)
+    jf = j.astype(jnp.float32)
+    if_ = i.astype(jnp.float32)
+    mM = jnp.where((i == k - 1) & (j == k - 1), jnp.float32(0.0), LOWEST)
+    ins_ok = (i == k - 1) & (j >= 2 * k - 1) & ((j - (k - 1)) % k == 0)
+    mI = jnp.where(ins_ok, go + ge * (jf - 1.0), LOWEST)
+    del_ok = ((j == k - 1) & (i >= 2 * k - 1) & (i < NA + k)
+              & ((i - (k - 1)) % k == 0))
+    mD = jnp.where(del_ok, (ng + go) + ge * (if_ - 1.0), LOWEST)
+    return body, mM, mD, mI
+
+
+def stacked_period(NA: int, C: int, k: int, du: int) -> int:
+    """Diagonal period P: >= NA + k (one pair's rows fit), large enough
+    that one grid step spans at most 3 pair banks (du + C - 2 < 2P), and a
+    multiple of du (era boundaries align with grid steps)."""
+    need = max(NA + k, (C + du) // 2 + 1)
+    return -(-need // du) * du
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "bc", "R", "du", "interpret", "code_cols"),
+)
+def wavefront_pallas_stacked(
+    aseq, bseq, lens_a, lens_b, table, gap_consts, *, k: int, R: int,
+    bc: int = 32, du: int = 8, interpret: bool = False,
+    code_cols: tuple = tuple(range(15)),
+):
+    """Viterbi + backpointers with R pairs stacked per batch-row along the
+    diagonal axis. B must be a multiple of R*bc; pair p = r*rows + row maps
+    to row `row` with diagonal offset r*P.
+
+    Returns ((cM, cD, cI) [B] terminal-adjusted corners, bp
+    [Dswp, rows, C] uint8, d_base [B], row_idx [B], P) — feed bp/d_base/
+    row_idx to traceback_ops_impl."""
+    B, NA = aseq.shape
+    NB = bseq.shape[1]
+    C = ((NB + k + 127) // 128) * 128
+    P = stacked_period(NA, C, k, du)
+    assert B % R == 0, (B, R)
+    rows = B // R
+    assert rows % bc == 0, (rows, bc)
+    Dswp = (R + 1) * P
+    n_steps = Dswp // du
+    ring = max(k, 2) + 1
+    nc = len(code_cols)
+
+    table_sub = table[:, jnp.asarray(code_cols)]
+    # G stream: per row, R ancestor blocks of length P (k leading pads)
+    TA = jnp.take(table_sub, aseq, axis=0)  # [B, NA, nc]
+    TA = jnp.transpose(TA.reshape(R, rows, NA, nc), (0, 2, 1, 3))
+    TA = jnp.pad(TA, ((0, 0), (k, P - NA - k), (0, 0), (0, 0)))
+    G = TA.reshape(R * P, rows, nc)
+    G = jnp.pad(G, ((0, Dswp - R * P), (0, 0), (0, 0)))
+
+    lut = np.full(16, 99, np.int32)
+    for idx, col in enumerate(code_cols):
+        lut[col] = idx
+    bseq_m = jnp.asarray(lut)[bseq]
+    b_slot = jnp.pad(
+        bseq_m, ((0, 0), (k, C - NB - k)), constant_values=99
+    ).astype(jnp.int32)
+    oh_b = jax.nn.one_hot(b_slot, nc, axis=0, dtype=jnp.float32)  # [nc,B,C]
+    oh_banks = jnp.transpose(
+        oh_b.reshape(nc, R, rows, C), (1, 0, 2, 3)
+    )  # [R, nc, rows, C]
+
+    r_vec = jnp.repeat(jnp.arange(R, dtype=jnp.int32), rows)
+    d_base = r_vec * jnp.int32(P)
+    corner_d = d_base + lens_a + lens_b + jnp.int32(2 * (k - 1))  # [B]
+    corner_j = lens_b + jnp.int32(k - 1)
+    j_iota = jnp.arange(C, dtype=jnp.int32)[None, :]
+    capd = jnp.where(
+        j_iota == corner_j[:, None], corner_d[:, None], jnp.int32(-1)
+    )  # [B, C]
+    capd_banks = capd.reshape(R, rows, C)
+
+    gc = gap_consts.reshape(1, 4).astype(jnp.float32)
+    body, mM, mD, mI = (
+        x[:, None, :]
+        for x in _diag_tables_stacked(k, NA, C, P, R, Dswp, gap_consts)
+    )
+
+    kernel = _make_kernel_stacked(k, NA, C, bc, ring, nc, du, n_steps, P, R)
+    grid = (rows // bc, n_steps)
+    Pdu = P // du
+
+    def bank_map(off):
+        def f(bi, g):
+            r_hi = (g * du + du - 1) // P
+            return (jnp.clip(r_hi - off, 0, R - 1), 0, bi, 0)
+        return f
+
+    def capd_map(off):
+        def f(bi, g):
+            r_hi = (g * du + du - 1) // P
+            return (jnp.clip(r_hi - off, 0, R - 1), bi, 0)
+        return f
+
+    in_specs = [
+        pl.BlockSpec((du, bc, nc), lambda bi, g: (g, bi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nc, bc, C), bank_map(0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nc, bc, C), bank_map(1), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nc, bc, C), bank_map(2), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bc, C), capd_map(0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bc, C), capd_map(1), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bc, C), capd_map(2), memory_space=pltpu.VMEM),
+        pl.BlockSpec((du, 1, C), lambda bi, g: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((du, 1, C), lambda bi, g: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((du, 1, C), lambda bi, g: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((du, 1, C), lambda bi, g: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4), lambda bi, g: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((du, bc, C), lambda bi, g: (g, bi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, 3, bc, C),
+            lambda bi, g: (jnp.clip((g * du) // P - 1, 0, R - 1), 0, bi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((Dswp, rows, C), jnp.uint8),
+        jax.ShapeDtypeStruct((R, 3, rows, C), jnp.float32),
+    ]
+
+    bp, caps = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((ring, bc, C), jnp.float32),
+            pltpu.VMEM((ring, bc, C), jnp.float32),
+            pltpu.VMEM((ring, bc, C), jnp.float32),
+            pltpu.VMEM((nc, bc, C), jnp.float32),
+            pltpu.VMEM((3, bc, C), jnp.float32),
+            pltpu.VMEM((3, bc, C), jnp.float32),
+        ],
+        # ~34 f32 bc x C planes resident (rings + window + 2 cap banks +
+        # 3 one-hot banks + export block) push past the default 16 MB
+        # scoped-vmem budget at long C; v5e has 128 MB physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(G, oh_banks, oh_banks, oh_banks, capd_banks, capd_banks, capd_banks,
+      body, mM, mD, mI, gc)
+
+    row_idx = jnp.tile(jnp.arange(rows, dtype=jnp.int32), R)
+    cap_vals = caps[r_vec, :, row_idx, corner_j]  # [B, 3]
+    ng, gs = gap_consts[0], gap_consts[1]
+    cM = (cap_vals[:, 0] + ng) + ng
+    cD = cap_vals[:, 1] + gs
+    cI = (cap_vals[:, 2] + gs) + ng
+    return (cM, cD, cI), bp, d_base, row_idx, P
+
+
 # --- segmented (carried-state) sweeps for the long-pair path -----------------
 def segment_consts(aseq, bseq, lens_a, lens_b, table, gap_consts, *, k,
                    T, code_cols=tuple(range(15))):

@@ -36,10 +36,12 @@ NEG = np.float32(-1.0e30)
 
 import os as _os
 
-# Pallas triplet-forward envelope: chunk width and max padded slot count
-# (VMEM: the resident emission block is 3 * 64 * bc * C * 4 bytes)
+# Pallas triplet-forward envelope: chunk width and max padded slot count.
+# The resident [3, bc, 64, Cc] emission block is ~3 MB per 1k slots (x2
+# pipelined); with the kernel's 110 MB scoped-vmem budget the envelope
+# reaches 8k slots at bc=4 (measured; was 1024 under the default 16 MB cap)
 TRI_PALLAS_BC = int(_os.environ.get("COATI_TPU_TRI_BC", "4"))
-TRI_PALLAS_MAX_C = int(_os.environ.get("COATI_TPU_TRI_MAX_C", "1024"))
+TRI_PALLAS_MAX_C = int(_os.environ.get("COATI_TPU_TRI_MAX_C", "8192"))
 
 
 def _max3(a, b, c):
