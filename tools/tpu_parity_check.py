@@ -65,9 +65,15 @@ def main() -> int:
     pi = (0.308, 0.185, 0.199, 0.308)
     table = marginal_p(mg94_p(0.0133, 0.2, pi), pi).astype(np.float32)
 
+    # the third group is 128 same-shape pairs: deep enough that the engine
+    # routes it through the diagonal-STACKED kernel (stack_R >= 4), so the
+    # artifact pins that path's compiled-TPU numerics too
     groups = [
-        (GapParams(len=1), make_group(rng, 80, 1, 40)),
-        (GapParams(len=3), make_group(rng, 24, 3, 30)),
+        ("scattered-k1", GapParams(len=1), make_group(rng, 80, 1, 40)),
+        ("scattered-k3", GapParams(len=3), make_group(rng, 24, 3, 30)),
+        ("stacked-k1", GapParams(len=1),
+         [(a, d) for a, d in make_group(rng, 128, 1, 22, ambig_frac=0.0)
+          ][:128]),
     ]
 
     import jax
@@ -78,7 +84,7 @@ def main() -> int:
     n_total = 0
     mismatches = []
     t0 = time.time()
-    for gap, pairs in groups:
+    for label, gap, pairs in groups:
         enc = [utils.encode_marginal(a, d) for a, d in pairs]
         enc_as = [e[0] for e in enc]
         enc_bs = [e[1] for e in enc]
@@ -93,16 +99,50 @@ def main() -> int:
             s0, s1, score = oracle.traceback(w, anc, des, gap)
             if (r.seq0, r.seq1) != (s0, s1) or abs(r.score - score) > 1e-4:
                 mismatches.append({
-                    "k": gap.len, "anc": anc, "des": des,
+                    "group": label, "k": gap.len, "anc": anc, "des": des,
                     "engine": [r.seq0, r.seq1, r.score],
                     "oracle": [s0, s1, score],
                 })
+        print(f"# {label}: {len(pairs)} pairs checked", file=sys.stderr)
+
+    # triplet: batched device forward + device traceback vs the host
+    # engine (float32-canonical, must match exactly)
+    from coati_tpu.structs import AlignmentParams
+    from coati_tpu.triplet_hmm import build_triplet_model, triplet_align
+    from coati_tpu.triplet_wavefront import triplet_align_batch
+
+    taln = AlignmentParams()
+    taln.model = "tri-mg"
+    tmodel = build_triplet_model(taln)
+    tri_pairs = []
+    from coati_tpu.constants import CODONS61
+
+    codon_arr = np.array(CODONS61)
+    nts = np.array(list("ACGT"))
+    for _ in range(32):
+        n_cod = int(rng.integers(2, 16))
+        anc = "".join(rng.choice(codon_arr, size=n_cod))
+        des = "".join(rng.choice(nts, size=int(rng.integers(3, 3 * n_cod + 4))))
+        tri_pairs.append((anc, des))
+    tri_dev = triplet_align_batch(tmodel, tri_pairs)
+    n_tri_mism = 0
+    for (anc, des), (s0, s1, sc) in zip(tri_pairs, tri_dev):
+        n_total += 1
+        h0, h1, hsc = triplet_align(tmodel, anc, des)
+        if (s0, s1) != (h0, h1) or abs(sc - hsc) > 2e-3:
+            n_tri_mism += 1
+            mismatches.append({
+                "group": "triplet", "anc": anc, "des": des,
+                "engine": [s0, s1, sc], "oracle": [h0, h1, hsc],
+            })
+    print(f"# triplet: {len(tri_pairs)} pairs checked", file=sys.stderr)
 
     out = {
         "ok": not mismatches,
         "n_pairs": n_total,
         "n_mismatches": len(mismatches),
         "mismatches": mismatches[:5],
+        "groups": [g[0] for g in groups] + ["triplet"],
         "device": str(dev),
         "seconds": round(time.time() - t0, 1),
     }
