@@ -163,16 +163,24 @@ def main() -> int:
     warm = time.time() - t0
     print(f"# pass 1 (incl. compile): {warm:.1f}s", file=sys.stderr)
 
-    # two timed passes; report the best (the remote-tunnel latency in this
-    # environment is highly variable and can poison a single pass)
+    # timed passes; report the best. The remote-tunnel latency in this
+    # environment is highly variable (a congested pass can run 2x slower
+    # on identical code), so keep sampling until two passes agree within
+    # 10% of the running best, up to a pass/time budget.
     dts = []
-    for p in range(2):
+    t_budget = time.time() + float(os.environ.get("BENCH_PASS_BUDGET_S", "90"))
+    max_passes = int(os.environ.get("BENCH_MAX_PASSES", "6"))
+    for p in range(max_passes):
         t0 = time.time()
         results = viterbi_align_batch(
             enc_as, enc_bs, a_strs, b_strs, table, gap,
             quantum=quantum, max_batch_cells=max_cells)
         dts.append(time.time() - t0)
         print(f"# pass {p + 2}: {dts[-1]:.1f}s", file=sys.stderr)
+        best = min(dts)
+        near_best = sum(1 for d in dts if d <= best * 1.10)
+        if (p >= 1 and near_best >= 2) or time.time() > t_budget:
+            break
     dt = min(dts)
 
     aln_per_s = N_PAIRS / dt

@@ -280,6 +280,144 @@ _align_step_packed_jit = functools.partial(
 )(fused_align_ops_packed_impl)
 
 
+# Max alignment runs (maximal same-op segments) fetched per pair on the
+# run-length-encoded path. A pair with g indel events has ~2g+1 runs, so 32
+# covers any plausible biological pair; pairs that exceed it fall back to
+# fetching the full packed op stream for their chunk.
+RLE_RUNS = 32
+_ASYNC_FETCH = _os.environ.get("COATI_TPU_ASYNC_FETCH", "1") != "0"
+
+
+def fused_align_ops_rle_impl(aseq, bseq, la, lb, table32, gc, *, k,
+                             use_pallas, code_cols=tuple(range(15)),
+                             bc=32, du=1, stack_R=1, nr=32):
+    """fused_align_ops_packed_impl plus a run-length-encoded result blob.
+
+    Alignments are mostly long match runs, so the op stream compresses to
+    a handful of (op, length) runs. The blob packs everything the host
+    needs into ONE uint8 matrix so a chunk's results cross the
+    (high-latency) host link in a single transfer:
+
+      rows [0, nr)        run lengths, low byte   (runs in backward order)
+      rows [nr, 2nr)      run lengths, high byte
+      rows [2nr, 2nr+nr/4) run op codes, 2-bit packed
+      rows [.., +2)        true run count (lo, hi) — may exceed nr: overflow
+      rows [.., +4)        f32 score bytes (bitcast, little-endian)
+
+    ~(2.25*nr + 6) bytes/pair vs ~(la+lb)/4 for the packed stream — ~4x
+    less d2h for typical pairs and one device_get instead of two. The full
+    packed stream is still returned (device-resident) for overflow pairs.
+    """
+    assert nr % 4 == 0
+    packed, score = fused_align_ops_packed_impl(
+        aseq, bseq, la, lb, table32, gc, k=k, use_pallas=use_pallas,
+        code_cols=code_cols, bc=bc, du=du, stack_R=stack_R,
+    )
+    # re-derive the op stream in packed (uint8, -1 -> 3) space, restoring
+    # step order (step t lives in packed row t//4 at bit position t%4)
+    o = (
+        jnp.stack(
+            [packed & 3, (packed >> 2) & 3, (packed >> 4) & 3,
+             (packed >> 6) & 3], axis=1,
+        ).reshape(-1, packed.shape[1])
+    )
+    valid = o != 3
+    prev = jnp.concatenate(
+        [jnp.full((1, o.shape[1]), 255, o.dtype), o[:-1]], axis=0
+    )
+    change = valid & (o != prev)
+    run_id = jnp.cumsum(change.astype(jnp.int32), axis=0) - 1
+    n_runs = run_id[-1] + 1  # [B] true run count (walk steps precede padding)
+    lens = []
+    ops_r = []
+    for r in range(nr):
+        m = run_id == r
+        lens.append(jnp.sum(m & valid, axis=0))
+        ops_r.append(jnp.max(jnp.where(m & valid, o, jnp.uint8(0)), axis=0))
+    run_len = jnp.stack(lens).astype(jnp.uint32)  # [nr, B]
+    rop = jnp.stack(ops_r)  # [nr, B] uint8 codes (0 for empty runs)
+    rop_p = (rop[0::4] | (rop[1::4] << 2) | (rop[2::4] << 4)
+             | (rop[3::4] << 6)).astype(jnp.uint8)
+    nr_u = n_runs.astype(jnp.uint32)
+    blob = jnp.concatenate(
+        [
+            (run_len & 0xFF).astype(jnp.uint8),
+            ((run_len >> 8) & 0xFF).astype(jnp.uint8),
+            rop_p,
+            (nr_u & 0xFF).astype(jnp.uint8)[None],
+            ((nr_u >> 8) & 0xFF).astype(jnp.uint8)[None],
+            jax.lax.bitcast_convert_type(score, jnp.uint8).T,
+        ],
+        axis=0,
+    )
+    return packed, blob
+
+
+_align_step_rle_jit = functools.partial(
+    jax.jit,
+    static_argnames=("k", "use_pallas", "code_cols", "bc", "du", "stack_R",
+                     "nr"),
+)(fused_align_ops_rle_impl)
+
+
+def _decode_rle_blob(blob: np.ndarray, nr: int):
+    """Host-side inverse of the RLE blob: returns (run_len [nr, B] int64,
+    run_op [nr, B] uint8, n_runs [B], score [B] f32). Runs are in the
+    device's backward-walk order (run 0 = tail of the alignment)."""
+    run_len = blob[:nr].astype(np.int64) | (
+        blob[nr : 2 * nr].astype(np.int64) << 8
+    )
+    rp = blob[2 * nr : 2 * nr + nr // 4]
+    run_op = np.empty((nr, blob.shape[1]), np.uint8)
+    run_op[0::4] = rp & 3
+    run_op[1::4] = (rp >> 2) & 3
+    run_op[2::4] = (rp >> 4) & 3
+    run_op[3::4] = (rp >> 6) & 3
+    base = 2 * nr + nr // 4
+    n_runs = blob[base].astype(np.int64) | (
+        blob[base + 1].astype(np.int64) << 8
+    )
+    score = (
+        np.ascontiguousarray(blob[base + 2 : base + 6].T)
+        .view(np.float32)
+        .ravel()
+    )
+    return run_len, run_op, n_runs, score
+
+
+def runs_to_strings(run_len, run_op, n_runs, score, a_strs, b_strs, k):
+    """Build aligned strings straight from (op, length) runs — a few string
+    slices per pair instead of a per-step walk. Runs arrive in backward
+    order (run 0 ends the alignment), so iterate last-to-first."""
+    results = []
+    for p, (a, b) in enumerate(zip(a_strs, b_strs)):
+        ia = ib = 0
+        s0 = []
+        s1 = []
+        for r in range(int(n_runs[p]) - 1, -1, -1):
+            op = int(run_op[r, p])
+            L = int(run_len[r, p])
+            if op == 0:
+                s0.append(a[ia : ia + L])
+                s1.append(b[ib : ib + L])
+                ia += L
+                ib += L
+            elif op == 1:
+                n = L * k
+                s0.append(a[ia : ia + n])
+                s1.append("-" * n)
+                ia += n
+            else:
+                n = L * k
+                s0.append("-" * n)
+                s1.append(b[ib : ib + n])
+                ib += n
+        results.append(
+            AlignResult("".join(s0), "".join(s1), float(score[p]))
+        )
+    return results
+
+
 def _unpack_ops(packed, nsteps):
     """Host-side inverse of the 2-bit packing: [rows, B] uint8 ->
     [nsteps, B] int8 with code 3 mapped back to -1."""
@@ -330,13 +468,16 @@ def _is_compile_failure(exc) -> bool:
 
 
 def _align_step(aseq, bseq, la, lb, table32, gc, k, dev, fetch=True,
-                code_cols=None):
+                code_cols=None, rle=False):
     """Run one fused chunk.
 
     fetch=True returns (ops [steps,B] int8 walked-backward, score [B]) as
     numpy; fetch=False returns the raw device handles
     (packed_ops, nsteps, score) without blocking (async launch) — pass them
-    to _fetch_packed. table32/gc may be numpy or already-device arrays
+    to _fetch_packed. With rle=True (fetch=False only) the handles are
+    (packed_ops, nsteps, blob): `blob` is the single-transfer RLE result
+    matrix (see fused_align_ops_rle_impl) and packed_ops is fetched only
+    for overflow pairs. table32/gc may be numpy or already-device arrays
     (device-resident reuse avoids a re-transfer per chunk).
 
     The hand-tuned (bc, du, stack_R) envelopes can shift with new shapes or
@@ -364,18 +505,21 @@ def _align_step(aseq, bseq, la, lb, table32, gc, k, dev, fetch=True,
             lva = np.concatenate([lva, np.full(pad_b, 3 * k, np.int32)])
             lvb = np.concatenate([lvb, np.full(pad_b, k, np.int32)])
         cc = code_cols if code_cols is not None else _code_cols_for(b)
-        # narrow input dtypes: uint16 ancestor codes (valid while the
-        # stacked table has < 65536 rows) and uint8 descendant nt16 codes
+        # narrow input dtypes: uint8/uint16 ancestor codes (by stacked-table
+        # row count; the single-model 183-row table fits uint8) and uint8
+        # descendant nt16 codes
         if isinstance(a, np.ndarray) and table32.shape[0] <= 65535:
-            a = a.astype(np.uint16)
+            a = a.astype(np.uint8 if table32.shape[0] <= 255 else np.uint16)
         if isinstance(b, np.ndarray):
             b = b.astype(np.uint8)
-        return _align_step_packed_jit(
+        step_jit = _align_step_rle_jit if rle else _align_step_packed_jit
+        extra = {"nr": RLE_RUNS} if rle else {}
+        return step_jit(
             jnp.asarray(a), jnp.asarray(b), jnp.asarray(lva),
             jnp.asarray(lvb), jnp.asarray(table32), jnp.asarray(gc),
             k=k, use_pallas=use_pallas, code_cols=cc,
             bc=bc if use_pallas else PALLAS_BC,
-            du=du if use_pallas else 1, stack_R=stack_R,
+            du=du if use_pallas else 1, stack_R=stack_R, **extra,
         )
 
     # candidate ladder: tuned config first, then progressively smaller.
@@ -404,10 +548,10 @@ def _align_step(aseq, bseq, la, lb, table32, gc, k, dev, fetch=True,
             ladder.append((True, max(8, bc0 // 2), 1, 1))
     ladder.append((False, PALLAS_BC, 1, 1))
 
-    packed = score = None
+    packed = aux = None
     for li, (up, bc_t, du_t, sr_t) in enumerate(ladder):
         try:
-            packed, score = attempt(up, bc_t, du_t, sr_t)
+            packed, aux = attempt(up, bc_t, du_t, sr_t)
             break
         except Exception as exc:
             last = li == len(ladder) - 1
@@ -434,8 +578,8 @@ def _align_step(aseq, bseq, la, lb, table32, gc, k, dev, fetch=True,
     packed = packed[:rows]
     nsteps = min(nsteps, rows * 4)
     if not fetch:
-        return packed, nsteps, score
-    ops, score_h = _fetch_packed(packed, nsteps, score, B0)
+        return packed, nsteps, aux
+    ops, score_h = _fetch_packed(packed, nsteps, aux, B0)
     # forward->backward: callers of the fetch=True path expect the raw
     # backward-ordered buffer (historical contract)
     return ops[::-1], score_h
@@ -488,6 +632,9 @@ def viterbi_align_batch(
     k = int(gap.len)
     gc = gap_consts_array(gap)
     table32 = np.asarray(table, dtype=np.float32)
+    # run-length-encoded result fetch (one small transfer per chunk);
+    # COATI_TPU_FETCH_RLE=0 restores the full packed-op-stream fetch
+    use_rle = _os.environ.get("COATI_TPU_FETCH_RLE", "1") != "0"
     if table_idx is not None:
         if table32.ndim != 3:
             raise ValueError("table_idx requires a stacked [G, rows, 15] table")
@@ -548,8 +695,17 @@ def viterbi_align_batch(
             table_d, gc_d = resident[dev]
             with jax.default_device(dev):
                 launched = _align_step(
-                    aseq, bseq, la, lb, table_d, gc_d, k, dev, fetch=False
+                    aseq, bseq, la, lb, table_d, gc_d, k, dev, fetch=False,
+                    rle=use_rle,
                 )
+            if use_rle and _ASYNC_FETCH:
+                # start the d2h copy of the small result blob now; it
+                # overlaps later chunks' compute, so phase 2's device_get
+                # pays ~zero link latency
+                try:
+                    launched[2].copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    pass
             inflight.append((chunk, n_real, launched))
 
     # long pairs: segmented two-pass traceback, one at a time (O(n) memory)
@@ -565,15 +721,26 @@ def viterbi_align_batch(
                 )
 
     # phase 2: fetch + build strings in launch order
-    for chunk, n_real, (packed_d, nsteps_d, score_d) in inflight:
-        ops, score = _fetch_packed(packed_d, nsteps_d, score_d, n_real)
-        out = ops_to_strings(
-            ops,
-            score,
-            [a_strs[i] for i in chunk],
-            [b_strs[i] for i in chunk],
-            k,
-        )
+    for chunk, n_real, (packed_d, nsteps, aux_d) in inflight:
+        ca = [a_strs[i] for i in chunk]
+        cb = [b_strs[i] for i in chunk]
+        if use_rle:
+            blob = np.asarray(jax.device_get(aux_d))
+            run_len, run_op, n_runs, score = _decode_rle_blob(blob, RLE_RUNS)
+            if (n_runs[:n_real] > RLE_RUNS).any():
+                # a pair exceeded the run cap: fall back to the full op
+                # stream for this chunk (score already decoded)
+                pk = np.asarray(jax.device_get(packed_d))
+                ops = _unpack_ops(pk, nsteps)[::-1, :n_real]
+                out = ops_to_strings(ops, score, ca, cb, k)
+            else:
+                out = runs_to_strings(
+                    run_len[:, :n_real], run_op[:, :n_real],
+                    n_runs[:n_real], score[:n_real], ca, cb, k,
+                )
+        else:
+            ops, score = _fetch_packed(packed_d, nsteps, aux_d, n_real)
+            out = ops_to_strings(ops, score, ca, cb, k)
         for i, r in zip(chunk, out):
             results[i] = r
     return results  # type: ignore[return-value]

@@ -48,8 +48,11 @@ def main():
     from coati_tpu.align.engine import (
         _pad_batch, _align_step, _fetch_packed, ops_to_strings,
         _devices_for, LONG_PAIR_SLOTS, _round_up,
+        RLE_RUNS, _decode_rle_blob, _unpack_ops, runs_to_strings,
     )
     from coati_tpu.align.wavefront import gap_consts_array
+
+    use_rle = os.environ.get("COATI_TPU_FETCH_RLE", "1") != "0"
 
     k = int(gap.len)
     gc = gap_consts_array(gap)
@@ -96,29 +99,53 @@ def main():
                 with jax.default_device(dev):
                     launched = _align_step(
                         aseq, bseq, la, lb, table_d, gc_d, k, dev,
-                        fetch=False)
+                        fetch=False, rle=use_rle)
+                if use_rle and os.environ.get(
+                        "COATI_TPU_ASYNC_FETCH", "1") != "0":
+                    try:
+                        launched[2].copy_to_host_async()
+                    except (AttributeError, RuntimeError):
+                        pass
                 t_kernel += time.time() - t0
                 inflight.append((chunk, n_real, launched, (qa, qb)))
 
         # block on all device work
         t0 = time.time()
-        for _, _, (pk_d, ns_d, sc_d), _ in inflight:
+        for _, _, (pk_d, ns_d, aux_d), _ in inflight:
             pk_d.block_until_ready()
-            sc_d.block_until_ready()
+            aux_d.block_until_ready()
         t_block = time.time() - t0
 
         t_fetch = 0.0
         t_strings = 0.0
         results = [None] * N
         for chunk, n_real, launched, bshape in inflight:
-            t0 = time.time()
-            ops, score = _fetch_packed(*launched, n_real)
-            t_fetch += time.time() - t0
-            t0 = time.time()
-            out = ops_to_strings(
-                ops, score, [a_strs[i] for i in chunk],
-                [b_strs[i] for i in chunk], k)
-            t_strings += time.time() - t0
+            ca = [a_strs[i] for i in chunk]
+            cb = [b_strs[i] for i in chunk]
+            if use_rle:
+                packed_d, nsteps, blob_d = launched
+                t0 = time.time()
+                blob = np.asarray(jax.device_get(blob_d))
+                t_fetch += time.time() - t0
+                t0 = time.time()
+                run_len, run_op, n_runs, score = _decode_rle_blob(
+                    blob, RLE_RUNS)
+                if (n_runs[:n_real] > RLE_RUNS).any():
+                    pk = np.asarray(jax.device_get(packed_d))
+                    ops = _unpack_ops(pk, nsteps)[::-1, :n_real]
+                    out = ops_to_strings(ops, score, ca, cb, k)
+                else:
+                    out = runs_to_strings(
+                        run_len[:, :n_real], run_op[:, :n_real],
+                        n_runs[:n_real], score[:n_real], ca, cb, k)
+                t_strings += time.time() - t0
+            else:
+                t0 = time.time()
+                ops, score = _fetch_packed(*launched, n_real)
+                t_fetch += time.time() - t0
+                t0 = time.time()
+                out = ops_to_strings(ops, score, ca, cb, k)
+                t_strings += time.time() - t0
             for i, r in zip(chunk, out):
                 results[i] = r
         t_total = time.time() - t_all
