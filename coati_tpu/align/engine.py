@@ -431,6 +431,18 @@ def _unpack_ops(packed, nsteps):
     return np.where(o == 3, np.int8(-1), o)
 
 
+def _ancestor_dtype(table32) -> type:
+    """Narrowest dtype holding row indices of the (possibly stacked) table."""
+    rows = table32.shape[0] if table32.ndim == 2 else (
+        table32.shape[0] * table32.shape[1]
+    )
+    if rows <= 255:
+        return np.uint8
+    if rows <= 65535:
+        return np.uint16
+    return np.int32
+
+
 def _code_cols_for(bseq) -> tuple:
     """Emission code-set for a descendant batch: 3x fewer emission planes
     for plain ACGT data. Two cheap max-reductions instead of np.unique
@@ -507,11 +519,15 @@ def _align_step(aseq, bseq, la, lb, table32, gc, k, dev, fetch=True,
         cc = code_cols if code_cols is not None else _code_cols_for(b)
         # narrow input dtypes: uint8/uint16 ancestor codes (by stacked-table
         # row count; the single-model 183-row table fits uint8) and uint8
-        # descendant nt16 codes
+        # descendant nt16 codes. copy=False: callers that padded straight
+        # into the narrow dtype (_ancestor_dtype) skip the extra pass.
         if isinstance(a, np.ndarray) and table32.shape[0] <= 65535:
-            a = a.astype(np.uint8 if table32.shape[0] <= 255 else np.uint16)
+            a = a.astype(
+                np.uint8 if table32.shape[0] <= 255 else np.uint16,
+                copy=False,
+            )
         if isinstance(b, np.ndarray):
-            b = b.astype(np.uint8)
+            b = b.astype(np.uint8, copy=False)
         step_jit = _align_step_rle_jit if rle else _align_step_packed_jit
         extra = {"nr": RLE_RUNS} if rle else {}
         return step_jit(
@@ -585,28 +601,29 @@ def _align_step(aseq, bseq, la, lb, table32, gc, k, dev, fetch=True,
     return ops[::-1], score_h
 
 
-def _pad_rows(seqs, N):
-    """Stack ragged int sequences into a zero-padded [B, N] int32 array.
+def _pad_rows(seqs, N, dtype=np.int32):
+    """Stack ragged int sequences into a zero-padded [B, N] array.
 
     Vectorized via a boolean length-mask scatter (row-major order matches
     the concatenation order) — ~10x faster than a per-row Python loop on
-    10k-row batches."""
+    10k-row batches. `dtype` narrow (uint8/uint16) skips a second
+    full-array astype pass at upload time."""
     B = len(seqs)
     lens = np.fromiter((len(s) for s in seqs), np.int32, count=B)
-    out = np.zeros((B, N), dtype=np.int32)
+    out = np.zeros((B, N), dtype=dtype)
     if B:
-        flat = np.concatenate([np.asarray(s, np.int32) for s in seqs])
+        flat = np.concatenate([np.asarray(s).ravel() for s in seqs])
         out[np.arange(N, dtype=np.int32)[None, :] < lens[:, None]] = flat
     return out, lens
 
 
-def _pad_batch(enc_as, enc_bs, quantum):
+def _pad_batch(enc_as, enc_bs, quantum, a_dtype=np.int32, b_dtype=np.int32):
     na = max(len(a) for a in enc_as)
     nb = max(len(b) for b in enc_bs)
     NA = max(_round_up(na, quantum), quantum)
     NB = max(_round_up(nb, quantum), quantum)
-    aseq, lens_a = _pad_rows(enc_as, NA)
-    bseq, lens_b = _pad_rows(enc_bs, NB)
+    aseq, lens_a = _pad_rows(enc_as, NA, dtype=a_dtype)
+    bseq, lens_b = _pad_rows(enc_bs, NB, dtype=b_dtype)
     return aseq, bseq, lens_a, lens_b
 
 
@@ -688,7 +705,8 @@ def viterbi_align_batch(
             padded = chunk + [chunk[0]] * pad_n
             aseq, bseq, la, lb = _pad_batch(
                 [enc_as[i] for i in padded], [enc_bs[i] for i in padded],
-                quantum,
+                quantum, a_dtype=_ancestor_dtype(table32),
+                b_dtype=np.uint8,
             )
             dev = devs[n_launched % len(devs)]
             n_launched += 1
