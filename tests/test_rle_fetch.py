@@ -77,14 +77,28 @@ def test_rle_parity_typical(mg94_table, monkeypatch, k):
 
 
 def test_rle_overflow_fallback(mg94_table, monkeypatch):
-    """Pairs with more runs than RLE_RUNS must take the full-stream
-    fallback and still match exactly."""
+    """Pairs with more runs than RLE_RUNS must take the per-pair
+    full-stream rebuild and still match exactly — in a chunk MIXING
+    overflow and ordinary pairs, so the non-overflow pairs keep the RLE
+    path while the rebuilt ones interleave correctly."""
     rng = np.random.default_rng(6)
     gap = GapParams(len=1)
-    pairs = _make(rng, 8, 120, 40, 1)  # ~80 runs/pair >> cap
+    pairs = _make(rng, 4, 120, 40, 1)  # ~80 runs/pair >> cap
+    pairs += _make(rng, 4, 120, 2, 1)  # ordinary pairs, same bucket
 
     import coati_tpu.align.engine as eng
 
+    enc = [encode_marginal(a, d) for a, d in pairs]
+    args = (
+        [e[0] for e in enc], [e[1] for e in enc],
+        [p[0] for p in pairs], [p[1] for p in pairs],
+        mg94_table, gap,
+    )
+    monkeypatch.setenv("COATI_TPU_FETCH_RLE", "0")
+    full = eng.viterbi_align_batch(*args)
+
+    # install the spy ONLY around the RLE run — the full-stream run above
+    # always calls ops_to_strings, which made the old assertion vacuous
     seen = {"overflow": 0}
     orig = eng.ops_to_strings
 
@@ -93,10 +107,78 @@ def test_rle_overflow_fallback(mg94_table, monkeypatch):
         return orig(*a, **kw)
 
     monkeypatch.setattr(eng, "ops_to_strings", spy)
-    full, rle = _run_both(pairs, mg94_table, gap, monkeypatch)
+    monkeypatch.setenv("COATI_TPU_FETCH_RLE", "1")
+    rle = eng.viterbi_align_batch(*args)
     assert seen["overflow"] > 0, "overflow fallback never exercised"
+    # per-pair rebuild: strictly fewer ops_to_strings calls than pairs
+    # would mean whole-chunk fallback was NOT taken for ordinary pairs
+    assert seen["overflow"] <= len(pairs)
     for f, r in zip(full, rle):
         assert (f.seq0, f.seq1, f.score) == (r.seq0, r.seq1, r.score)
+
+
+def test_rle_16bit_guard(mg94_table, monkeypatch):
+    """Chunks whose walk-length bound exceeds RLE_MAX_STEPS must be
+    launched with rle=False (a >65535-step run would wrap its 16-bit
+    length silently). Verified by shrinking the guard threshold and spying
+    on the launch."""
+    import coati_tpu.align.engine as eng
+
+    rng = np.random.default_rng(8)
+    gap = GapParams(len=1)
+    pairs = _make(rng, 4, 80, 2, 1)  # la+lb ~ 480 >> patched guard
+    enc = [encode_marginal(a, d) for a, d in pairs]
+    args = (
+        [e[0] for e in enc], [e[1] for e in enc],
+        [p[0] for p in pairs], [p[1] for p in pairs],
+        mg94_table, gap,
+    )
+
+    rle_flags = []
+    orig = eng._align_step
+
+    def spy(*a, **kw):
+        rle_flags.append(kw.get("rle", False))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(eng, "_align_step", spy)
+    monkeypatch.setenv("COATI_TPU_FETCH_RLE", "1")
+    baseline = eng.viterbi_align_batch(*args)
+    assert rle_flags and all(rle_flags), "control: RLE path taken normally"
+
+    rle_flags.clear()
+    monkeypatch.setattr(eng, "RLE_MAX_STEPS", 100)
+    guarded = eng.viterbi_align_batch(*args)
+    assert rle_flags and not any(rle_flags), (
+        "guard did not force the full-stream path"
+    )
+    for f, r in zip(baseline, guarded):
+        assert (f.seq0, f.seq1, f.score) == (r.seq0, r.seq1, r.score)
+
+
+def test_compile_failure_heuristic_narrow():
+    """_is_compile_failure must retry compile-stage failures only: a bare
+    INTERNAL runtime fault must surface, not walk the config ladder."""
+    from coati_tpu.align.engine import _is_compile_failure
+
+    assert _is_compile_failure(
+        RuntimeError("INTERNAL: Mosaic failed to compile TPU kernel")
+    )
+    assert _is_compile_failure(
+        RuntimeError("RESOURCE_EXHAUSTED: Ran out of memory in "
+                     "memory space vmem")
+    )
+    assert _is_compile_failure(
+        ValueError("Scoped vmem limit exceeded during compilation")
+    )
+    # runtime faults: NOT retried
+    assert not _is_compile_failure(
+        RuntimeError("INTERNAL: Failed to execute XLA program")
+    )
+    assert not _is_compile_failure(ValueError("bad user input"))
+    assert not _is_compile_failure(
+        RuntimeError("INTERNAL: device halted unexpectedly")
+    )
 
 
 def test_blob_roundtrip(mg94_table):

@@ -48,7 +48,7 @@ def main():
     from coati_tpu.align.engine import (
         _pad_batch, _align_step, _fetch_packed, ops_to_strings,
         _devices_for, LONG_PAIR_SLOTS, _round_up,
-        RLE_RUNS, _decode_rle_blob, _unpack_ops, runs_to_strings,
+        RLE_MAX_STEPS, _fetch_rle_chunk,
     )
     from coati_tpu.align.wavefront import gap_consts_array
 
@@ -96,22 +96,24 @@ def main():
                 dev = devs[n_launched % len(devs)]
                 n_launched += 1
                 table_d, gc_d = resident[dev]
+                rle_c = (use_rle
+                         and int(np.max(la + lb)) + 1 <= RLE_MAX_STEPS)
                 with jax.default_device(dev):
                     launched = _align_step(
                         aseq, bseq, la, lb, table_d, gc_d, k, dev,
-                        fetch=False, rle=use_rle)
-                if use_rle and os.environ.get(
+                        fetch=False, rle=rle_c)
+                if rle_c and os.environ.get(
                         "COATI_TPU_ASYNC_FETCH", "1") != "0":
                     try:
                         launched[2].copy_to_host_async()
                     except (AttributeError, RuntimeError):
                         pass
                 t_kernel += time.time() - t0
-                inflight.append((chunk, n_real, launched, (qa, qb)))
+                inflight.append((chunk, n_real, rle_c, launched, (qa, qb)))
 
         # block on all device work
         t0 = time.time()
-        for _, _, (pk_d, ns_d, aux_d), _ in inflight:
+        for _, _, _, (pk_d, ns_d, aux_d), _ in inflight:
             pk_d.block_until_ready()
             aux_d.block_until_ready()
         t_block = time.time() - t0
@@ -119,25 +121,14 @@ def main():
         t_fetch = 0.0
         t_strings = 0.0
         results = [None] * N
-        for chunk, n_real, launched, bshape in inflight:
+        for chunk, n_real, rle_c, launched, bshape in inflight:
             ca = [a_strs[i] for i in chunk]
             cb = [b_strs[i] for i in chunk]
-            if use_rle:
-                packed_d, nsteps, blob_d = launched
+            if rle_c:
+                # the engine's own fetch+decode helper: fetch timing folds
+                # decode/strings in (blob decode is the fetch's tail)
                 t0 = time.time()
-                blob = np.asarray(jax.device_get(blob_d))
-                t_fetch += time.time() - t0
-                t0 = time.time()
-                run_len, run_op, n_runs, score = _decode_rle_blob(
-                    blob, RLE_RUNS)
-                if (n_runs[:n_real] > RLE_RUNS).any():
-                    pk = np.asarray(jax.device_get(packed_d))
-                    ops = _unpack_ops(pk, nsteps)[::-1, :n_real]
-                    out = ops_to_strings(ops, score, ca, cb, k)
-                else:
-                    out = runs_to_strings(
-                        run_len[:, :n_real], run_op[:, :n_real],
-                        n_runs[:n_real], score[:n_real], ca, cb, k)
+                out = _fetch_rle_chunk(launched, n_real, ca, cb, k)
                 t_strings += time.time() - t0
             else:
                 t0 = time.time()
@@ -154,8 +145,8 @@ def main():
               f"fetch={t_fetch:.3f} strings={t_strings:.3f} "
               f"-> {true_cells / t_total / 1e9:.2f} Gcells/s "
               f"({len(inflight)} chunks, {len(buckets)} buckets)")
-        for chunk, n_real, launched, bshape in inflight:
-            print(f"    chunk {bshape} n={n_real} "
+        for chunk, n_real, rle_c, launched, bshape in inflight:
+            print(f"    chunk {bshape} n={n_real} rle={int(rle_c)} "
                   f"packed_shape={launched[0].shape}")
         return results
 
