@@ -163,10 +163,12 @@ def main() -> int:
     warm = time.time() - t0
     print(f"# pass 1 (incl. compile): {warm:.1f}s", file=sys.stderr)
 
-    # timed passes; report the best. The remote-tunnel latency in this
-    # environment is highly variable (a congested pass can run 2x slower
-    # on identical code), so keep sampling until two passes agree within
-    # 10% of the running best, up to a pass/time budget.
+    # timed passes. The remote-tunnel latency in this environment is highly
+    # variable (a congested pass can run 2x slower on identical code), so
+    # keep sampling until two passes agree within 10% of the running best,
+    # up to a pass/time budget — then report the MEDIAN of the agreeing
+    # passes (not the min: an optimistic estimator, VERDICT r3 weak #3).
+    # Every pass time is recorded in the JSON so drift is auditable.
     dts = []
     t_budget = time.time() + float(os.environ.get("BENCH_PASS_BUDGET_S", "90"))
     max_passes = int(os.environ.get("BENCH_MAX_PASSES", "6"))
@@ -181,13 +183,88 @@ def main() -> int:
         near_best = sum(1 for d in dts if d <= best * 1.10)
         if (p >= 1 and near_best >= 2) or time.time() > t_budget:
             break
-    dt = min(dts)
+    best = min(dts)
+    agreeing = [d for d in dts if d <= best * 1.10]
+    dt = float(np.median(agreeing))
 
     aln_per_s = N_PAIRS / dt
     cells_per_s = true_cells / dt
     # sanity: scores finite, strings consistent
     assert all(np.isfinite(r.score) for r in results)
     assert all(len(r.seq0) == len(r.seq1) for r in results)
+
+    # ---- homogeneous length ladder (mirrors the reference harness:
+    # benchmark/benchmark_main.cc.in:34-76 over benchmark_{156..32k}.fasta;
+    # exact reference sequence lengths) ---------------------------------------
+    ladder = []
+    if os.environ.get("BENCH_LADDER", "0" if QUICK else "1") == "1":
+        ladder_spec = [
+            (156, 1024), (990, 512), (1959, 128), (3945, 32),
+            (7872, 8), (15624, 2), (29397, 1),
+        ]
+        for nt, n in ladder_spec:
+            lp = make_pairs(n, rng, length_mix=[(nt, 1.0)])
+            le = [encode_marginal(a, d) for a, d in lp]
+            las = [e[0] for e in le]
+            lbs = [e[1] for e in le]
+            ast = [p[0] for p in lp]
+            bst = [p[1] for p in lp]
+            _ = viterbi_align_batch(las, lbs, ast, bst, table, gap,
+                                    quantum=quantum,
+                                    max_batch_cells=max_cells)  # compile
+            times = []
+            for _p in range(2):
+                t0 = time.time()
+                lres = viterbi_align_batch(las, lbs, ast, bst, table, gap,
+                                           quantum=quantum,
+                                           max_batch_cells=max_cells)
+                times.append(time.time() - t0)
+            assert all(np.isfinite(r.score) for r in lres)
+            dt_l = float(np.median(times))
+            cells_l = float(sum(len(a) * len(b) for a, b in zip(las, lbs)))
+            ladder.append({
+                "nt": nt,
+                "n_pairs": n,
+                "cells_per_sec": round(cells_l / dt_l, 0),
+                "alignments_per_sec": round(n / dt_l, 2),
+                "pass_seconds": [round(t, 3) for t in times],
+            })
+            print(f"# ladder {nt} nt x {n}: "
+                  f"{cells_l/dt_l/1e6:.0f} Mcells/s", file=sys.stderr)
+
+    # ---- sample -n throughput (ref workload align_marginal.cc:536-594:
+    # one Forward fill + N stochastic tracebacks) -----------------------------
+    n_samples = 32 if QUICK else 1000
+    sample_nt = 471 if QUICK else 999
+    (sp,) = make_pairs(1, rng, length_mix=[(sample_nt, 1.0)])
+    se_a, se_b = encode_marginal(sp[0], sp[1])
+
+    class _SampleAln:
+        pass
+
+    saln = _SampleAln()
+    saln.gap = gap
+    saln.subst_matrix = table
+
+    from coati_tpu.align.sample_device import sample_batch_device
+    from coati_tpu.driver import _forward_diag
+
+    def run_samples():
+        Ms, Ds, Is, corners, _ = _forward_diag(se_a, se_b, saln)
+        return sample_batch_device(
+            Ms, Ds, Is, corners, se_a, se_b, table, sp[0], sp[1], gap,
+            20260817, n_samples,
+        )
+
+    _ = list(run_samples())  # compile
+    t0 = time.time()
+    s_out = list(run_samples())
+    dt_s = time.time() - t0
+    assert len(s_out) == n_samples
+    assert all(np.isfinite(sc) for _, _, sc in s_out)
+    samples_per_s = n_samples / dt_s
+    print(f"# sample: {n_samples} tracebacks of {sample_nt} nt pair, "
+          f"{samples_per_s:.0f} samples/s", file=sys.stderr)
 
     # ---- secondary: triplet codon-context batch on device -------------------
     from coati_tpu.structs import AlignmentParams
@@ -256,12 +333,18 @@ def main() -> int:
         "cells_per_sec": round(cells_per_s, 0),
         "n_pairs": N_PAIRS,
         "batch_seconds": round(dt, 3),
+        "pass_seconds": [round(t, 3) for t in dts],
+        "stat": "median_of_agreeing_passes",
         "baseline_cells_per_sec": round(base_rate, 0) if base_rate else None,
         "triplet_cells_per_sec": round(tri_rate, 0),
         "triplet_long_cells_per_sec": round(tri_l_rate, 0),
         "triplet_long_nt": tri_l_len,
         "longpair_cells_per_sec": round(long_rate, 0),
         "longpair_nt": long_nt,
+        "samples_per_sec": round(samples_per_s, 1),
+        "sample_n": n_samples,
+        "sample_nt": sample_nt,
+        "ladder": ladder,
         "device": str(dev),
     }
     print(json.dumps(out))

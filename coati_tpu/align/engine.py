@@ -326,8 +326,15 @@ def fused_align_ops_rle_impl(aseq, bseq, la, lb, table32, gc, *, k,
         ).reshape(-1, packed.shape[1])
     )
     valid = o != 3
+    # hole-transparent run detection: the scan traceback interleaves -1
+    # holes (waiting diagonals) into the op stream, so a run boundary is
+    # "valid op differs from the LAST VALID op", carried across holes by
+    # an associative right-biased fill (f(a,b) = b if valid else a)
+    filled = jax.lax.associative_scan(
+        lambda a, b: jnp.where(b == 3, a, b), o, axis=0
+    )
     prev = jnp.concatenate(
-        [jnp.full((1, o.shape[1]), 255, o.dtype), o[:-1]], axis=0
+        [jnp.full((1, o.shape[1]), 255, o.dtype), filled[:-1]], axis=0
     )
     change = valid & (o != prev)
     run_id = jnp.cumsum(change.astype(jnp.int32), axis=0) - 1
@@ -627,12 +634,13 @@ def _align_step(aseq, bseq, la, lb, table32, gc, k, dev, fetch=True,
                     (bc_t, du_t, sr_t), NA, NB, k,
                     type(exc).__name__,
                 )
-    # trim the fetch to a host-known walk-length bound (every traceback step
-    # consumes an ancestor or descendant symbol, so steps <= la + lb + 1);
-    # the slice dispatches asynchronously NOW, so the fetch loop later pays
-    # no extra device round trip. Rounded to x32 rows to bound the number
-    # of distinct slice executables per bucket.
-    nsteps = min(int(np.max(la + lb)) + 1, packed.shape[0] * 4)
+    # trim the fetch to a host-known walk-length bound: the scan traceback
+    # left-aligns each bank's op stream, so every real op (plus -1 waiting
+    # holes) lives in the first max(la+lb) + 2k - 1 rows. The slice
+    # dispatches asynchronously NOW, so the fetch loop later pays no extra
+    # device round trip. Rounded to x32 rows to bound the number of
+    # distinct slice executables per bucket.
+    nsteps = min(int(np.max(la + lb)) + 2 * k - 1, packed.shape[0] * 4)
     rows = min(_round_up(-(-nsteps // 4), 32), packed.shape[0])
     packed = packed[:rows]
     nsteps = min(nsteps, rows * 4)

@@ -69,6 +69,13 @@ def _lse(a, b):
 def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
                  want_bp: bool, nc: int, mode: str = "viterbi",
                  du: int = 1, n_steps: int = 0, seg: bool = False):
+    """Stacked-state kernel body: the M/D/I diagonals live as ONE ring
+    plane [ring, 3, BC, C], so each step issues 2 ring reads + 2 shifts +
+    a handful of stacked adds instead of 6 reads + 5 shifts + ~16 scalar-
+    plane adds. Every original f32 add maps to exactly one stacked add
+    (state lanes with fewer adds pad with +0.0, which is exact here: no
+    operand sum can round to -0.0), so results are bit-identical to the
+    per-state form and to align_pair.cc:94-129."""
     def kernel(
         grow_ref,  # [du, BC, nc] table rows for a[d-k] (pre-shifted, padded)
         ohb_ref,  # [nc, BC, C] f32 one-hot of descendant codes (resident)
@@ -78,7 +85,8 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
     ):
         Mout_ref = Dout_ref = Iout_ref = bp_ref = None
         ringo_ref = gwino_ref = capo_ref = None
-        body_ref = margM_ref = margD_ref = margI_ref = None
+        body_ref = marg_ref = None
+        corner_ref = None
         d0v = 0
         if seg:
             # carried-state segment: margins are computed in-kernel from
@@ -92,19 +100,17 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
                 bp_ref = refs[0]
                 refs = refs[1:]
             (ringo_ref, gwino_ref, capo_ref,
-             Mr_ref, Dr_ref, Ir_ref, gwin_ref, cap_ref) = refs
+             Pr_ref, gwin_ref, cap_ref) = refs
         else:
-            body_ref, margM_ref, margD_ref, margI_ref, gc_ref = refs[:5]
-            refs = refs[5:]
-        if seg:
-            pass
-        elif mode == "forward":
-            (Mout_ref, Dout_ref, Iout_ref, corner_ref,
-             Mr_ref, Dr_ref, Ir_ref, gwin_ref, cap_ref) = refs
-        elif want_bp:
-            bp_ref, corner_ref, Mr_ref, Dr_ref, Ir_ref, gwin_ref, cap_ref = refs
-        else:
-            corner_ref, Mr_ref, Dr_ref, Ir_ref, gwin_ref, cap_ref = refs
+            body_ref, marg_ref, gc_ref = refs[:3]
+            refs = refs[3:]
+            if mode == "forward":
+                (Mout_ref, Dout_ref, Iout_ref, corner_ref,
+                 Pr_ref, gwin_ref, cap_ref) = refs
+            elif want_bp:
+                bp_ref, corner_ref, Pr_ref, gwin_ref, cap_ref = refs
+            else:
+                corner_ref, Pr_ref, gwin_ref, cap_ref = refs
         plus2 = _lse if mode == "forward" else jnp.maximum
         g = pl.program_id(1)
         ng = gc_ref[0, 0]
@@ -113,29 +119,49 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
         ge = gc_ref[0, 3]
         gek1 = ge * jnp.float32(k - 1)
         gek = ge * jnp.float32(k)
+        zero = jnp.float32(0.0)
+
+        # per-state broadcast constants [3, 1, 1]: one stacked add applies
+        # a different scalar to each of the M/D/I lanes
+        si = jax.lax.broadcasted_iota(jnp.int32, (3, 1, 1), 0)
+
+        def c3(a, b, c):
+            return jnp.where(si == 0, a, jnp.where(si == 1, b, c))
+
+        cA = c3(ng, gs, gs)       # (tmm | tdm | tim) first add
+        cB = c3(ng, zero, ng)     # second add
+        cC = c3(ng, zero, gs)     # (tmd | pkD | tid) first add
+        cD_ = c3(go, zero, go)    # second add
+        cE = c3(gek1, gek, gek1)  # (m2d | d2d | i2d) extension add
+        cF = c3(go, zero, gek)    # (tmi | - | i2i)
 
         @pl.when(g == 0)
         def _init():
             if seg:
                 cap_ref[...] = cap0_ref[...]
                 gwin_ref[...] = gwin0_ref[...]
-                Mr_ref[...] = ring0_ref[0]
-                Dr_ref[...] = ring0_ref[1]
-                Ir_ref[...] = ring0_ref[2]
+                Pr_ref[...] = ring0_ref[...]
             else:
                 cap_ref[...] = jnp.full((3, BC, C), LOWEST, jnp.float32)
                 gwin_ref[...] = jnp.zeros((nc, BC, C), jnp.float32)
                 # clear stale state from the previous batch chunk so results
                 # are bit-deterministic (only never-visited cells see it)
-                low = jnp.full((ring, BC, C), LOWEST, jnp.float32)
-                Mr_ref[...] = low
-                Dr_ref[...] = low
-                Ir_ref[...] = low
+                Pr_ref[...] = jnp.full(
+                    (ring, 3, BC, C), LOWEST, jnp.float32
+                )
 
         j_i = jax.lax.broadcasted_iota(jnp.int32, (BC, C), 1)
         j3 = jax.lax.broadcasted_iota(jnp.int32, (nc, BC, C), 2)
+        # hoisted shift-fill masks (loop-invariant)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (3, BC, C), 2)
+        mask1 = lane3 < 1
+        maskk = lane3 < k
         win = gwin_ref[...]
-        cap0, cap1, cap2 = cap_ref[0], cap_ref[1], cap_ref[2]
+        cap = cap_ref[...]
+
+        def shift3(x, s, mask):
+            rolled = pltpu.roll(x, s, axis=2)
+            return jnp.where(mask, LOWEST, rolled)
 
         # du diagonals per grid step: amortizes the per-step fixed work
         # (index maps, pipeline turnaround) over du full-width row updates
@@ -155,44 +181,28 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
             for c in range(1, nc):
                 sub = sub + oh[c] * win[c]
 
-            # --- ring reads -------------------------------------------------
-            def ring_at(ref, dd):
+            # --- ring reads (one [3, BC, C] plane per diagonal) -------------
+            def ring_at(dd):
                 idx = jax.lax.rem(dd + ring * 4, ring)
-                return ref[pl.ds(idx, 1)][0]
+                return Pr_ref[pl.ds(idx, 1)][0]
 
-            p2M = ring_at(Mr_ref, d - 2)
-            p2D = ring_at(Dr_ref, d - 2)
-            p2I = ring_at(Ir_ref, d - 2)
-            pkM = ring_at(Mr_ref, d - k)
-            pkD = ring_at(Dr_ref, d - k)
-            pkI = ring_at(Ir_ref, d - k)
-
-            p2Ms = _shift_right(p2M, 1)
-            p2Ds = _shift_right(p2D, 1)
-            p2Is = _shift_right(p2I, 1)
-            pkMs = _shift_right(pkM, k)
-            pkIs = _shift_right(pkI, k)
+            s1 = shift3(ring_at(d - 2), 1, mask1)  # [p2Ms, p2Ds, p2Is]
+            pk = ring_at(d - k)                    # [pkM, pkD, pkI]
+            s2 = shift3(pk, k, maskk)              # [pkMs, -, pkIs]
 
             # --- recurrence (f32 op order == align_pair.cc:98-124) ---------
-            # shared pre-emission sums double as backpointer comparands below
-            tmm = (p2Ms + ng) + ng
-            tdm = p2Ds + gs
-            tim = (p2Is + gs) + ng
-            tmd = (pkM + ng) + go
-            tid = (pkI + gs) + go
-            tmi = pkMs + go
-            m2m = tmm + sub
-            d2m = tdm + sub
-            i2m = tim + sub
-            m2d = tmd + gek1
-            i2d = tid + gek1
-            d2d = pkD + gek
-            m2i = tmi + gek1
-            i2i = pkIs + gek
+            # stacked T-terms double as backpointer comparands below
+            T1 = (s1 + cA) + cB        # [tmm, tdm, tim]
+            mt = T1 + sub[None]        # [m2m, d2m, i2m]
+            M = plus2(plus2(mt[0], mt[1]), mt[2])
+            Ud = (pk + cC) + cD_       # [tmd, pkD, tid]
+            V = Ud + cE                # [m2d, d2d, i2d]
+            D = plus2(plus2(V[0], V[1]), V[2])
+            Wi = s2 + cF               # [tmi, -, i2i]
+            m2i = Wi[0] + gek1
+            I = plus2(m2i, Wi[2])
 
-            M = plus2(plus2(m2m, d2m), i2m)
-            D = plus2(plus2(m2d, d2d), i2d)
-            I = plus2(m2i, i2i)
+            P = jnp.stack([M, D, I], axis=0)
 
             # --- body/margin select ------------------------------------------
             if seg:
@@ -211,51 +221,44 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
                 del_ok = ((jv == k - 1) & (iv >= 2 * k - 1)
                           & ((iv - (k - 1)) % k == 0))
                 mDv = jnp.where(del_ok, (ng + go) + ge * (if_ - 1.0), LOWEST)
-                M = jnp.where(body, M, mMv)
-                D = jnp.where(body, D, mDv)
-                I = jnp.where(body, I, mIv)
+                mvals = jnp.stack([mMv[0], mDv[0], mIv[0]], axis=0)[:, None, :]
+                P = jnp.where(body[None], P, mvals)
             else:
                 body = body_ref[t, 0] > 0.5  # [C]
-                M = jnp.where(body[None, :], M, margM_ref[t, 0][None, :])
-                D = jnp.where(body[None, :], D, margD_ref[t, 0][None, :])
-                I = jnp.where(body[None, :], I, margI_ref[t, 0][None, :])
+                P = jnp.where(
+                    body[None, None, :], P, marg_ref[t][:, None, :]
+                )
 
             # --- ring write --------------------------------------------------
             slot = jax.lax.rem(d, ring)
-            Mr_ref[pl.ds(slot, 1)] = M[None]
-            Dr_ref[pl.ds(slot, 1)] = D[None]
-            Ir_ref[pl.ds(slot, 1)] = I[None]
+            Pr_ref[pl.ds(slot, 1)] = P[None]
 
             # --- forward: stream the full diagonals out ----------------------
             if mode == "forward":
-                Mout_ref[t] = M
-                Dout_ref[t] = D
-                Iout_ref[t] = I
+                Mout_ref[t] = P[0]
+                Dout_ref[t] = P[1]
+                Iout_ref[t] = P[2]
 
             # --- backpointers (traceback-form comparisons) -------------------
             if want_bp:
-                bp_m = _argmax_mdi_i32(tmm, tdm, tim)
-                bp_d = _argmax_mdi_i32(tmd, pkD + ge, tid)
-                bp_i = jnp.where(tmi > pkIs + ge, 0, 2)
+                bp_m = _argmax_mdi_i32(T1[0], T1[1], T1[2])
+                bp_d = _argmax_mdi_i32(Ud[0], Ud[1] + ge, Ud[2])
+                bp_i = jnp.where(Wi[0] > s2[2] + ge, 0, 2)
                 bp_ref[t] = (bp_m | (bp_d << 2) | (bp_i << 4)).astype(
                     jnp.uint8
                 )
 
             # --- corner capture ----------------------------------------------
             sel = (d == cd_ref[...]) & (j_i == cj_ref[...])
-            cap0 = jnp.where(sel, M, cap0)
-            cap1 = jnp.where(sel, D, cap1)
-            cap2 = jnp.where(sel, I, cap2)
+            cap = jnp.where(sel[None], P, cap)
 
         gwin_ref[...] = win
-        cap_ref[...] = jnp.stack([cap0, cap1, cap2], axis=0)
+        cap_ref[...] = cap
 
         if seg:
             @pl.when(g == n_steps - 1)
             def _export():
-                ringo_ref[0] = Mr_ref[...]
-                ringo_ref[1] = Dr_ref[...]
-                ringo_ref[2] = Ir_ref[...]
+                ringo_ref[...] = Pr_ref[...]
                 gwino_ref[...] = gwin_ref[...]
                 capo_ref[...] = cap_ref[...]
         else:
@@ -347,14 +350,12 @@ def wavefront_pallas(
     cd = jnp.broadcast_to(corner_d, (B, C)).astype(jnp.int32)
     cj = jnp.broadcast_to(corner_j, (B, C)).astype(jnp.int32)
     gc = gap_consts.reshape(1, 4).astype(jnp.float32)
-    body, mM, mD, mI = (
-        x[:, None, :] for x in _diag_tables(k, NA, C, Dtot, gap_consts)
-    )
+    body, mM, mD, mI = _diag_tables(k, NA, C, Dtot, gap_consts)
+    body = body[:, None, :]
+    marg = jnp.stack([mM, mD, mI], axis=1)  # [Dtot, 3, C]
     pad_d = ((0, Dtot_p - Dtot), (0, 0), (0, 0))
     body = jnp.pad(body, pad_d)  # padding diagonals: body=0 -> margins
-    mM = jnp.pad(mM, pad_d, constant_values=LOWEST)
-    mD = jnp.pad(mD, pad_d, constant_values=LOWEST)
-    mI = jnp.pad(mI, pad_d, constant_values=LOWEST)
+    marg = jnp.pad(marg, pad_d, constant_values=LOWEST)
 
     if mode == "forward":
         want_bp = False
@@ -373,11 +374,7 @@ def wavefront_pallas(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((du, 1, C), lambda bi, g: (g, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((du, 1, C), lambda bi, g: (g, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((du, 1, C), lambda bi, g: (g, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((du, 1, C), lambda bi, g: (g, 0, 0),
+        pl.BlockSpec((du, 3, C), lambda bi, g: (g, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 4), lambda bi, g: (0, 0), memory_space=pltpu.SMEM),
     ]
@@ -411,14 +408,12 @@ def wavefront_pallas(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((ring, bc, C), jnp.float32),
-            pltpu.VMEM((ring, bc, C), jnp.float32),
-            pltpu.VMEM((ring, bc, C), jnp.float32),
+            pltpu.VMEM((ring, 3, bc, C), jnp.float32),
             pltpu.VMEM((nc, bc, C), jnp.float32),
             pltpu.VMEM((3, bc, C), jnp.float32),
         ],
         interpret=interpret,
-    )(G, oh_b, cd, cj, body, mM, mD, mI, gc)
+    )(G, oh_b, cd, cj, body, marg, gc)
 
     aux = None
     if mode == "forward":
@@ -474,13 +469,11 @@ def _make_kernel_stacked(k: int, NA: int, C: int, BC: int, ring: int,
         cdMID_ref,  # [1, BC, C]
         cdLO_ref,   # [1, BC, C]
         body_ref,   # [du, 1, C]
-        margM_ref,  # [du, 1, C]
-        margD_ref,  # [du, 1, C]
-        margI_ref,  # [du, 1, C]
+        marg_ref,   # [du, 3, C] stacked (M | D | I) margin values
         gc_ref,     # [1, 4] SMEM
         bp_ref,     # out [du, BC, C] uint8
         caps_ref,   # out [1, 3, BC, C] f32 (per-era corner export)
-        Mr_ref, Dr_ref, Ir_ref,  # scratch rings
+        Pr_ref,     # scratch ring [ring, 3, BC, C]
         gwin_ref,   # scratch [nc, BC, C]
         capE_ref,   # scratch [3, BC, C] even-parity pair captures
         capO_ref,   # scratch [3, BC, C] odd-parity pair captures
@@ -492,6 +485,21 @@ def _make_kernel_stacked(k: int, NA: int, C: int, BC: int, ring: int,
         ge = gc_ref[0, 3]
         gek1 = ge * jnp.float32(k - 1)
         gek = ge * jnp.float32(k)
+        zero = jnp.float32(0.0)
+
+        # per-state broadcast constants (see _make_kernel: each original
+        # f32 add maps to one stacked add; +0.0 pads are exact)
+        si = jax.lax.broadcasted_iota(jnp.int32, (3, 1, 1), 0)
+
+        def c3(a, b, c):
+            return jnp.where(si == 0, a, jnp.where(si == 1, b, c))
+
+        cA = c3(ng, gs, gs)
+        cB = c3(ng, zero, ng)
+        cC = c3(ng, zero, gs)
+        cD_ = c3(go, zero, go)
+        cE = c3(gek1, gek, gek1)
+        cF = c3(go, zero, gek)
 
         @pl.when(g == 0)
         def _init():
@@ -499,15 +507,21 @@ def _make_kernel_stacked(k: int, NA: int, C: int, BC: int, ring: int,
             capE_ref[...] = low3
             capO_ref[...] = low3
             gwin_ref[...] = jnp.zeros((nc, BC, C), jnp.float32)
-            low = jnp.full((ring, BC, C), LOWEST, jnp.float32)
-            Mr_ref[...] = low
-            Dr_ref[...] = low
-            Ir_ref[...] = low
+            Pr_ref[...] = jnp.full((ring, 3, BC, C), LOWEST, jnp.float32)
 
         j_i = jax.lax.broadcasted_iota(jnp.int32, (BC, C), 1)
         j3 = jax.lax.broadcasted_iota(jnp.int32, (nc, BC, C), 2)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (3, BC, C), 2)
+        mask1 = lane3 < 1
+        maskk = lane3 < k
         win = gwin_ref[...]
+        capE = capE_ref[...]
+        capO = capO_ref[...]
         r_hi = (g * du + du - 1) // P  # unclamped bank index of this step
+
+        def shift3(x, s, mask):
+            rolled = pltpu.roll(x, s, axis=2)
+            return jnp.where(mask, LOWEST, rolled)
 
         for t in range(du):
             d = g * du + t
@@ -531,55 +545,34 @@ def _make_kernel_stacked(k: int, NA: int, C: int, BC: int, ring: int,
             for c in range(1, nc):
                 sub = sub + oh[c] * win[c]
 
-            def ring_at(ref, dd):
+            def ring_at(dd):
                 idx = jax.lax.rem(dd + ring * 4, ring)
-                return ref[pl.ds(idx, 1)][0]
+                return Pr_ref[pl.ds(idx, 1)][0]
 
-            p2M = ring_at(Mr_ref, d - 2)
-            p2D = ring_at(Dr_ref, d - 2)
-            p2I = ring_at(Ir_ref, d - 2)
-            pkM = ring_at(Mr_ref, d - k)
-            pkD = ring_at(Dr_ref, d - k)
-            pkI = ring_at(Ir_ref, d - k)
+            s1 = shift3(ring_at(d - 2), 1, mask1)
+            pk = ring_at(d - k)
+            s2 = shift3(pk, k, maskk)
 
-            p2Ms = _shift_right(p2M, 1)
-            p2Ds = _shift_right(p2D, 1)
-            p2Is = _shift_right(p2I, 1)
-            pkMs = _shift_right(pkM, k)
-            pkIs = _shift_right(pkI, k)
+            T1 = (s1 + cA) + cB        # [tmm, tdm, tim]
+            mt = T1 + sub[None]
+            M = jnp.maximum(jnp.maximum(mt[0], mt[1]), mt[2])
+            Ud = (pk + cC) + cD_       # [tmd, pkD, tid]
+            V = Ud + cE
+            D = jnp.maximum(jnp.maximum(V[0], V[1]), V[2])
+            Wi = s2 + cF               # [tmi, -, i2i]
+            m2i = Wi[0] + gek1
+            I = jnp.maximum(m2i, Wi[2])
 
-            tmm = (p2Ms + ng) + ng
-            tdm = p2Ds + gs
-            tim = (p2Is + gs) + ng
-            tmd = (pkM + ng) + go
-            tid = (pkI + gs) + go
-            tmi = pkMs + go
-            m2m = tmm + sub
-            d2m = tdm + sub
-            i2m = tim + sub
-            m2d = tmd + gek1
-            i2d = tid + gek1
-            d2d = pkD + gek
-            m2i = tmi + gek1
-            i2i = pkIs + gek
-
-            M = jnp.maximum(jnp.maximum(m2m, d2m), i2m)
-            D = jnp.maximum(jnp.maximum(m2d, d2d), i2d)
-            I = jnp.maximum(m2i, i2i)
-
+            P3 = jnp.stack([M, D, I], axis=0)
             body = body_ref[t, 0] > 0.5  # [C]
-            M = jnp.where(body[None, :], M, margM_ref[t, 0][None, :])
-            D = jnp.where(body[None, :], D, margD_ref[t, 0][None, :])
-            I = jnp.where(body[None, :], I, margI_ref[t, 0][None, :])
+            P3 = jnp.where(body[None, None, :], P3, marg_ref[t][:, None, :])
 
             slot = jax.lax.rem(d, ring)
-            Mr_ref[pl.ds(slot, 1)] = M[None]
-            Dr_ref[pl.ds(slot, 1)] = D[None]
-            Ir_ref[pl.ds(slot, 1)] = I[None]
+            Pr_ref[pl.ds(slot, 1)] = P3[None]
 
-            bp_m = _argmax_mdi_i32(tmm, tdm, tim)
-            bp_d = _argmax_mdi_i32(tmd, pkD + ge, tid)
-            bp_i = jnp.where(tmi > pkIs + ge, 0, 2)
+            bp_m = _argmax_mdi_i32(T1[0], T1[1], T1[2])
+            bp_d = _argmax_mdi_i32(Ud[0], Ud[1] + ge, Ud[2])
+            bp_i = jnp.where(Wi[0] > s2[2] + ge, 0, 2)
             bp_ref[t] = (bp_m | (bp_d << 2) | (bp_i << 4)).astype(jnp.uint8)
 
             # --- corner capture into the parity bank of the cell's pair
@@ -589,16 +582,12 @@ def _make_kernel_stacked(k: int, NA: int, C: int, BC: int, ring: int,
             )
             sel = cd_eff == d
             par_even = (r_cell & 1) == 0
-            selE = sel & par_even
-            selO = sel & (~par_even)
-            capE_ref[0] = jnp.where(selE, M, capE_ref[0])
-            capE_ref[1] = jnp.where(selE, D, capE_ref[1])
-            capE_ref[2] = jnp.where(selE, I, capE_ref[2])
-            capO_ref[0] = jnp.where(selO, M, capO_ref[0])
-            capO_ref[1] = jnp.where(selO, D, capO_ref[1])
-            capO_ref[2] = jnp.where(selO, I, capO_ref[2])
+            capE = jnp.where((sel & par_even)[None], P3, capE)
+            capO = jnp.where((sel & (~par_even))[None], P3, capO)
 
         gwin_ref[...] = win
+        capE_ref[...] = capE
+        capO_ref[...] = capO
 
         # --- era export: at the last step of era e >= 1, pair e-1's bank
         # ((e-1) & 1) is complete -> flush it to output block e-1 and clear
@@ -608,11 +597,11 @@ def _make_kernel_stacked(k: int, NA: int, C: int, BC: int, ring: int,
             e = (g * du) // P  # current era (>= 1 here)
             low3 = jnp.full((3, BC, C), LOWEST, jnp.float32)
             is_even = ((e - 1) & 1) == 0
-            capE = capE_ref[...]
-            capO = capO_ref[...]
-            caps_ref[0] = jnp.where(is_even, capE, capO)
-            capE_ref[...] = jnp.where(is_even, low3, capE)
-            capO_ref[...] = jnp.where(is_even, capO, low3)
+            capEv = capE_ref[...]
+            capOv = capO_ref[...]
+            caps_ref[0] = jnp.where(is_even, capEv, capOv)
+            capE_ref[...] = jnp.where(is_even, low3, capEv)
+            capO_ref[...] = jnp.where(is_even, capOv, low3)
 
     return kernel
 
@@ -705,10 +694,9 @@ def wavefront_pallas_stacked(
     capd_banks = capd.reshape(R, rows, C)
 
     gc = gap_consts.reshape(1, 4).astype(jnp.float32)
-    body, mM, mD, mI = (
-        x[:, None, :]
-        for x in _diag_tables_stacked(k, NA, C, P, R, Dswp, gap_consts)
-    )
+    body, mM, mD, mI = _diag_tables_stacked(k, NA, C, P, R, Dswp, gap_consts)
+    body = body[:, None, :]
+    marg = jnp.stack([mM, mD, mI], axis=1)  # [Dswp, 3, C]
 
     kernel = _make_kernel_stacked(k, NA, C, bc, ring, nc, du, n_steps, P, R)
     grid = (rows // bc, n_steps)
@@ -737,11 +725,7 @@ def wavefront_pallas_stacked(
         pl.BlockSpec((1, bc, C), capd_map(2), memory_space=pltpu.VMEM),
         pl.BlockSpec((du, 1, C), lambda bi, g: (g, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((du, 1, C), lambda bi, g: (g, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((du, 1, C), lambda bi, g: (g, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((du, 1, C), lambda bi, g: (g, 0, 0),
+        pl.BlockSpec((du, 3, C), lambda bi, g: (g, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 4), lambda bi, g: (0, 0), memory_space=pltpu.SMEM),
     ]
@@ -766,9 +750,7 @@ def wavefront_pallas_stacked(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((ring, bc, C), jnp.float32),
-            pltpu.VMEM((ring, bc, C), jnp.float32),
-            pltpu.VMEM((ring, bc, C), jnp.float32),
+            pltpu.VMEM((ring, 3, bc, C), jnp.float32),
             pltpu.VMEM((nc, bc, C), jnp.float32),
             pltpu.VMEM((3, bc, C), jnp.float32),
             pltpu.VMEM((3, bc, C), jnp.float32),
@@ -781,7 +763,7 @@ def wavefront_pallas_stacked(
         ),
         interpret=interpret,
     )(G, oh_banks, oh_banks, oh_banks, capd_banks, capd_banks, capd_banks,
-      body, mM, mD, mI, gc)
+      body, marg, gc)
 
     row_idx = jnp.tile(jnp.arange(rows, dtype=jnp.int32), R)
     cap_vals = caps[r_vec, :, row_idx, corner_j]  # [B, 3]
@@ -827,7 +809,7 @@ def segment_consts(aseq, bseq, lens_a, lens_b, table, gap_consts, *, k,
     cj = jnp.broadcast_to(corner_j, (B, C)).astype(jnp.int32)
     gc = gap_consts.reshape(1, 4).astype(jnp.float32)
 
-    ring0 = jnp.full((3, ring, B, C), LOWEST, jnp.float32)
+    ring0 = jnp.full((ring, 3, B, C), LOWEST, jnp.float32)
     gwin0 = jnp.zeros((nc, B, C), jnp.float32)
     cap0 = jnp.full((3, B, C), LOWEST, jnp.float32)
     return ((G, oh_b, cd, cj, gc),
@@ -850,7 +832,7 @@ def wavefront_pallas_segment(consts, carry, d0, *, k, T, want_bp, NA,
     G, oh_b, cd, cj, gc = consts
     ring0, gwin0, cap0 = carry
     nc, B, C = oh_b.shape
-    ring = ring0.shape[1]
+    ring = ring0.shape[0]
     assert T % du == 0
     n_steps = T // du
 
@@ -870,7 +852,7 @@ def wavefront_pallas_segment(consts, carry, d0, *, k, T, want_bp, NA,
         full(B, C),
         pl.BlockSpec((1, 4), lambda bi, g: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1), lambda bi, g: (0, 0), memory_space=pltpu.SMEM),
-        full(3, ring, B, C),
+        full(ring, 3, B, C),
         full(nc, B, C),
         full(3, B, C),
     ]
@@ -882,9 +864,9 @@ def wavefront_pallas_segment(consts, carry, d0, *, k, T, want_bp, NA,
                          memory_space=pltpu.VMEM)
         )
         out_shape.append(jax.ShapeDtypeStruct((T, B, C), jnp.uint8))
-    out_specs += [full(3, ring, B, C), full(nc, B, C), full(3, B, C)]
+    out_specs += [full(ring, 3, B, C), full(nc, B, C), full(3, B, C)]
     out_shape += [
-        jax.ShapeDtypeStruct((3, ring, B, C), jnp.float32),
+        jax.ShapeDtypeStruct((ring, 3, B, C), jnp.float32),
         jax.ShapeDtypeStruct((nc, B, C), jnp.float32),
         jax.ShapeDtypeStruct((3, B, C), jnp.float32),
     ]
@@ -896,9 +878,7 @@ def wavefront_pallas_segment(consts, carry, d0, *, k, T, want_bp, NA,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((ring, B, C), jnp.float32),
-            pltpu.VMEM((ring, B, C), jnp.float32),
-            pltpu.VMEM((ring, B, C), jnp.float32),
+            pltpu.VMEM((ring, 3, B, C), jnp.float32),
             pltpu.VMEM((nc, B, C), jnp.float32),
             pltpu.VMEM((3, B, C), jnp.float32),
         ],

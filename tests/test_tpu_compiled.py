@@ -52,3 +52,14 @@ def test_tpu_parity_artifact():
     assert verdict["n_pairs"] >= 100
     assert "TPU" in verdict["device"].upper() or "AXON" in \
         verdict["device"].upper()
+
+    # freshness coupling: the artifact must have been generated with the
+    # CURRENT kernel sources — touching a kernel without a live re-run is
+    # a failure, not silent staleness
+    from coati_tpu.provenance import kernel_hash
+
+    assert verdict.get("kernel_hash") == kernel_hash(REPO), (
+        "kernel sources changed since TPU_PARITY.json was generated — "
+        "regenerate on the accelerator: "
+        "COATI_TPU_FORCE_PLATFORM=tpu python tools/tpu_parity_check.py"
+    )

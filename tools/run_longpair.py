@@ -99,6 +99,8 @@ def main() -> int:
         print(f"#   {dt:.1f} s, {cells/dt/1e6:.0f} Mcells/s, "
               f"peak RSS {peak_kb/1e6:.2f} GB", file=sys.stderr)
 
+    from coati_tpu.provenance import kernel_hash
+
     blob = {
         "note": ("segmented O(n)-memory two-pass traceback "
                  "(align/longseq.py); full alignpair incl. string build. "
@@ -106,6 +108,7 @@ def main() -> int:
                  "~2 knt, 3-matrix DP at 160 knt would need ~300 GB."),
         "generated": time.strftime("%Y-%m-%d %H:%M:%S"),
         "runs": runs,
+        "kernel_hash": kernel_hash(REPO),
     }
     out = REPO / "LONGPAIR.json"
     out.write_text(json.dumps(blob, indent=1))

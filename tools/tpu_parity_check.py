@@ -137,6 +137,8 @@ def main() -> int:
             })
     print(f"# triplet: {len(tri_pairs)} pairs checked", file=sys.stderr)
 
+    from coati_tpu.provenance import kernel_hash
+
     out = {
         "ok": not mismatches,
         "n_pairs": n_total,
@@ -145,6 +147,7 @@ def main() -> int:
         "groups": [g[0] for g in groups] + ["triplet"],
         "device": str(dev),
         "seconds": round(time.time() - t0, 1),
+        "kernel_hash": kernel_hash(REPO),
     }
     (REPO / "TPU_PARITY.json").write_text(json.dumps(out, indent=1) + "\n")
     print(json.dumps({kk: out[kk] for kk in
