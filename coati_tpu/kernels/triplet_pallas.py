@@ -1,24 +1,24 @@
 """Pallas TPU kernel for the triplet (codon-context) forward sweep.
 
-The XLA scan version (triplet_wavefront._triplet_rows) round-trips every
-laned row (3 x [B, 61, Cc] f32 per codon step, plus cummax passes) through
-HBM — measured ~10 true-Mcells/s on v5e. This kernel keeps the whole codon
-step in VMEM: the collapsed boundary rows are the only carried state
-([3, bc, Cc] scratch), the three laned phase rows live as registers/VMEM
-temporaries inside one grid step, and only the per-step boundary rows and
-their argmax-lane planes are streamed out (what the single-lane traceback
-walks).
+Factored over the codon lane (see triplet_hmm._DP): within one codon block
+the 61 chosen-codon lanes differ only by the entry cost and the per-phase
+emission class in {A,C,G,T}, so the kernel computes 4 phase-1 variants,
+16 phase-2 variants, and 16 phase-3 cores, folding (cost + phase-3
+emission) as the 4-way max K — ~36 [bc, Cc] row computations per codon
+step instead of the previous 3 laned [bc, 64, Cc] planes (~5x fewer
+element-ops, and VMEM per batch row shrinks ~16x, so bc and the length
+envelope grow).
 
-Layout: laned planes are [bc, 64, Cc] — batch leading, the codon lane on
-the SUBLANE axis (61 lanes padded to 64 with NEG entry costs so padding
-never wins a collapse), descendant slots on the 128-lane axis. Every
-block's trailing two dims are then (64, Cc) / (bc, Cc) — tile-legal — and
-the codon-entry broadcast needs no in-kernel transpose.
+Everything lives in VMEM: the carried collapsed boundary rows
+([3, bc, Cc] scratch), the 4 emission-class planes, and the per-step
+factored rows as registers. Only the per-step boundary rows and their
+argmax-lane planes (codon64 encoding) stream out — what the single-lane
+traceback walks.
 
 The in-row insertion recurrence is solved by an exact log-tree prefix-max
 (max is associative, so the tree reassociation is bit-identical to the
-sequential cummax). All arithmetic matches _triplet_rows bitwise; the unit
-suite asserts exact equality in interpret mode.
+sequential cummax). All arithmetic matches triplet_wavefront._triplet_rows
+bitwise; the unit suite asserts exact equality in interpret mode.
 """
 
 from __future__ import annotations
@@ -32,22 +32,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = np.float32(-1.0e30)
+NEG_INF = np.float32(-np.inf)
 
 
-def _shift_right_last(x, s):
-    """x[..., j] <- x[..., j - s] along the last axis, NEG fill."""
+def _shift_right_last(x, s, fill):
+    """x[..., j] <- x[..., j - s] along the last axis, `fill` fill."""
     rolled = pltpu.roll(x, s, axis=x.ndim - 1)
     j = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    return jnp.where(j < s, NEG, rolled)
+    return jnp.where(j < s, fill, rolled)
 
 
-def _cummax_last(x, n):
+def _cummax_last(x, n, fill=NEG):
     """Exact running max along the last axis via a log-step tree."""
     s = 1
     while s < n:
         shifted = pltpu.roll(x, s, axis=x.ndim - 1)
         j = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-        x = jnp.maximum(x, jnp.where(j < s, NEG, shifted))
+        x = jnp.maximum(x, jnp.where(j < s, fill, shifted))
         s *= 2
     return x
 
@@ -57,12 +58,12 @@ def _max3(a, b, c):
 
 
 def _make_kernel(bc: int, Cc: int, n_cod: int):
-    def kernel(entry_ref,  # [1, bc, 1, 64] codon-entry logP row (NEG-pad)
-               emit_ref,  # [3, bc, 64, Cc] per-phase lane emissions
-               insoff_ref,  # [bc, 1, Cc] insertion run offsets
-               gc_ref,  # [1, 4] SMEM gap constants
-               bnd_ref,  # out [1, bc, 3, Cc] collapsed boundary rows
-               amax_ref,  # out [1, bc, 3, Cc] argmax lane per state
+    def kernel(cost_ref,   # [1, bc, 64] codon64 entry costs (NEG at stops)
+               E_ref,      # [4, bc, Cc] per-class match emissions
+               insoff_ref,  # [bc, Cc] insertion run offsets
+               gc_ref,     # [1, 4] SMEM gap constants
+               bnd_ref,    # out [1, bc, 3, Cc] collapsed boundary rows
+               amax_ref,   # out [1, bc, 3, Cc] argmax lane64 per state
                carry_ref,  # scratch [3, bc, Cc] collapsed carry
                ):
         t = pl.program_id(1)
@@ -70,19 +71,34 @@ def _make_kernel(bc: int, Cc: int, n_cod: int):
         gs = gc_ref[0, 1]
         go = gc_ref[0, 2]
         ge = gc_ref[0, 3]
+        ng_ng = ng + ng
+        gs_ng = gs + ng
+        ng_go = ng + go
+        gs_go = gs + go
         go_ge = go - ge
-        ins_off = insoff_ref[...].reshape(-1, insoff_ref.shape[-1])
+        off = insoff_ref[...]  # [bc, Cc]
 
-        def row_ins(M):  # laned [bc, 64, Cc]
-            run = _cummax_last(M - ins_off[:, None], Cc)
-            return _shift_right_last(run, 1) + (ins_off[:, None] + go_ge)
+        def row_ins(M):
+            run = _cummax_last(M - off, Cc)
+            return _shift_right_last(run, 1, NEG) + (off + go_ge)
+
+        def shiftmax3(M, D, I):
+            sM = _shift_right_last(M, 1, NEG)
+            sD = _shift_right_last(D, 1, NEG)
+            sI = _shift_right_last(I, 1, NEG)
+            body = _max3(sM + ng_ng, sD + gs, sI + gs_ng)
+            j = jax.lax.broadcasted_iota(jnp.int32, M.shape, M.ndim - 1)
+            return jnp.where(j < 1, NEG, body)
+
+        def dmax3(M, D, I):
+            return _max3(M + ng_go, D + ge, I + gs_go)
 
         @pl.when(t == 0)
         def _init():
             j = jax.lax.broadcasted_iota(jnp.int32, (bc, Cc), 1)
             M0 = jnp.where(j == 0, jnp.float32(0.0), NEG)
-            run0 = _cummax_last(M0 - ins_off, Cc)
-            I0 = _shift_right_last(run0, 1) + (ins_off + go_ge)
+            run0 = _cummax_last(M0 - off, Cc)
+            I0 = _shift_right_last(run0, 1, NEG) + (off + go_ge)
             carry_ref[0] = M0
             carry_ref[1] = jnp.full((bc, Cc), NEG, jnp.float32)
             carry_ref[2] = I0
@@ -90,42 +106,87 @@ def _make_kernel(bc: int, Cc: int, n_cod: int):
         Mc = carry_ref[0]
         Dc = carry_ref[1]
         Ic = carry_ref[2]
-        cost = entry_ref[...].reshape(bc, 64)[:, :, None]
-        Mp = Mc[:, None] + cost
-        Dp = Dc[:, None] + cost
-        Ip = Ic[:, None] + cost
-        for p in range(3):
-            e = emit_ref[p]  # [bc, 64, Cc]
-            M = _max3(
-                _shift_right_last(Mp, 1) + (ng + ng),
-                _shift_right_last(Dp, 1) + gs,
-                _shift_right_last(Ip, 1) + (gs + ng),
-            ) + e
-            D = _max3(Mp + (ng + go), Dp + ge, Ip + (gs + go))
-            I = row_ins(M)
-            Mp, Dp, Ip = M, D, I
+        E = [E_ref[x] for x in range(4)]  # [bc, Cc] each
 
-        Mc2 = jnp.max(Mp, axis=1)
-        Dc2 = jnp.max(Dp, axis=1)
-        Ic2 = jnp.max(Ip, axis=1)
+        core1 = shiftmax3(Mc, Dc, Ic)
+        M1 = [core1 + E[x] for x in range(4)]
+        D1 = dmax3(Mc, Dc, Ic)
+        I1 = [row_ins(M1[x]) for x in range(4)]
+        core2 = [shiftmax3(M1[x], D1, I1[x]) for x in range(4)]
+        M2 = [core2[g >> 2] + E[g & 3] for g in range(16)]
+        D2 = [dmax3(M1[x], D1, I1[x]) for x in range(4)]
+        I2 = [row_ins(M2[g]) for g in range(16)]
+        core3 = [shiftmax3(M2[g], D2[g >> 2], I2[g]) for g in range(16)]
+        D3 = [dmax3(M2[g], D2[g >> 2], I2[g]) for g in range(16)]
+
+        # K[g] = max_x3(cost + e3), first-max payload
+        costv = cost_ref[...].reshape(bc, 64)  # [bc, 64]
+        Kpay = []
+        KDpay = []
+        Mlane = []
+        Dlane = []
+        for g in range(16):
+            cost0 = costv[:, 4 * g + 0][:, None]  # [bc, 1]
+            k = cost0 + E[0]
+            pay = jnp.zeros((bc, Cc), jnp.int32)
+            kd = cost0
+            kdpay = jnp.zeros((bc, 1), jnp.int32)
+            for x3 in range(1, 4):
+                cx = costv[:, 4 * g + x3][:, None]
+                v = cx + E[x3]
+                better = v > k
+                k = jnp.where(better, v, k)
+                pay = jnp.where(better, x3, pay)
+                db = cx > kd
+                kd = jnp.where(db, cx, kd)
+                kdpay = jnp.where(db, x3, kdpay)
+            Kpay.append(pay)
+            KDpay.append(kdpay)
+            Mlane.append(core3[g] + k)
+            Dlane.append(D3[g] + kd)
+
+        def collapse16(vals):
+            m = vals[0]
+            for g in range(1, 16):
+                m = jnp.maximum(m, vals[g])
+            hit = jnp.full((bc, Cc), 16, jnp.int32)
+            for g in range(15, -1, -1):
+                hit = jnp.where(vals[g] == m, g, hit)
+            return m, hit  # first-max group
+
+        Mc2, gM = collapse16(Mlane)
+        Dc2, gD = collapse16(Dlane)
+
+        def pay_at(paylist, gsel):
+            out = jnp.zeros((bc, Cc), jnp.int32)
+            for g in range(16):
+                out = jnp.where(gsel == g, paylist[g], out)
+            return out
+
+        amaxM = gM * 4 + pay_at(Kpay, gM)
+        amaxD = gD * 4 + pay_at(
+            [jnp.broadcast_to(p, (bc, Cc)) for p in KDpay], gD
+        )
+
+        W = [Mlane[g] - off for g in range(16)]
+        Wstar, gW = collapse16(W)
+        lane_at_u = gW * 4 + pay_at(Kpay, gW)
+        run = _cummax_last(Wstar, Cc)
+        Ic2 = _shift_right_last(run, 1, NEG) + (off + go_ge)
+        prev_run = _shift_right_last(run, 1, NEG_INF)
+        newmax = Wstar > prev_run
+        u_iota = jax.lax.broadcasted_iota(jnp.int32, (bc, Cc), 1)
+        code = jnp.where(newmax, u_iota * 64 + lane_at_u, -1)
+        code_run = _cummax_last(code, Cc, fill=jnp.int32(-1))
+        amaxI = _shift_right_last(code_run, 1, jnp.int32(0)) % 64
+        jmask = u_iota == 0
+        amaxI = jnp.where(jmask, 0, amaxI)
+
         carry_ref[0] = Mc2
         carry_ref[1] = Dc2
         carry_ref[2] = Ic2
         bnd_ref[0] = jnp.stack([Mc2, Dc2, Ic2], axis=1)
-
-        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (bc, 64, Cc), 1)
-
-        def amax_first(X, mx):
-            # first lane attaining the max (argmax tie semantics) without
-            # a gather: iota where equal to the max, min-reduce over lanes
-            hit = jnp.where(X == mx[:, None, :], lane_iota, 64)
-            return jnp.min(hit, axis=1)
-
-        amax_ref[0] = jnp.stack([
-            amax_first(Mp, Mc2),
-            amax_first(Dp, Dc2),
-            amax_first(Ip, Ic2),
-        ], axis=1).astype(jnp.int32)
+        amax_ref[0] = jnp.stack([amaxM, amaxD, amaxI], axis=1)
 
     return kernel
 
@@ -133,33 +194,36 @@ def _make_kernel(bc: int, Cc: int, n_cod: int):
 @functools.partial(
     jax.jit, static_argnames=("n_cod", "bc", "interpret")
 )
-def triplet_rows_pallas(anc_cods, des_codes, ins_off, logP, match_emit,
-                        cnuc_int, gc, *, n_cod: int, bc: int = 4,
+def triplet_rows_pallas(anc_cods, des_codes, ins_off, logP64, match_emit,
+                        gc, *, n_cod: int, bc: int = 8,
                         interpret: bool = False):
     """Drop-in Pallas replacement for triplet_wavefront._triplet_rows:
-    same arguments, same (boundaries [n_cod+1, 3, B, Cc], amax) outputs,
-    bit-identical f32 values. Cc is padded to the 128-lane tile; columns
-    beyond m+1 are garbage the traceback never reads. ins_off arrives
-    host-computed (bit-parity with the host engine's cumsum)."""
+    same arguments, same (boundaries [n_cod+1, 3, B, Cc], amax codon64)
+    outputs, bit-identical f32 values. Cc is padded to the 128-lane tile;
+    columns beyond m+1 are garbage the traceback never reads. ins_off
+    arrives host-computed (bit-parity with the host engine's cumsum)."""
     B, m = des_codes.shape
     Cc_real = m + 1
     Cc = ((Cc_real + 127) // 128) * 128
     assert B % bc == 0, (B, bc)
     ng, gs, go, ge = (gc[i] for i in range(4))
+    go_ge = go - ge
 
-    ins_off_p = jnp.pad(ins_off, ((0, 0), (0, Cc - Cc_real)))[:, None, :]
+    ins_off_p = jnp.pad(ins_off, ((0, 0), (0, Cc - Cc_real)))
 
-    # per-phase lane emissions [3, B, 64, Cc]: pure gathers (exact; an MXU
-    # one-hot contraction would round the f32 values through bf16)
-    ME = match_emit[:, des_codes]  # [4, B, m]
-    emit = jnp.transpose(ME[cnuc_int], (0, 2, 1, 3))  # [3, B, 61, m]
-    emit = jnp.pad(emit, ((0, 0), (0, 0), (0, 3), (1, Cc - Cc_real)))
+    # E[b, x, j]: per-class emissions (pure gathers on the XLA side)
+    E = jnp.concatenate(
+        [
+            jnp.zeros((B, 4, 1), jnp.float32),
+            jnp.transpose(match_emit[:4, des_codes], (1, 0, 2)),
+        ],
+        axis=2,
+    )
+    E = jnp.pad(E, ((0, 0), (0, 0), (0, Cc - Cc_real)))
+    E = jnp.transpose(E, (1, 0, 2))  # [4, B, Cc]
 
-    # codon-entry costs [n_cod, B, 1, 64] (pad lanes never win a collapse)
-    Gcod = jnp.transpose(logP[anc_cods], (1, 0, 2))  # [n_cod, B, 61]
-    Gcod = jnp.pad(
-        Gcod, ((0, 0), (0, 0), (0, 3)), constant_values=NEG
-    )[:, :, None, :]
+    # per-step entry costs [n_cod, B, 64]
+    cost = jnp.transpose(logP64[anc_cods], (1, 0, 2))
 
     gc4 = jnp.stack([ng, gs, go, ge]).reshape(1, 4).astype(jnp.float32)
 
@@ -169,11 +233,11 @@ def triplet_rows_pallas(anc_cods, des_codes, ins_off, logP, match_emit,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bc, 1, 64), lambda bi, t: (t, bi, 0, 0),
+            pl.BlockSpec((1, bc, 64), lambda bi, t: (t, bi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, bc, 64, Cc), lambda bi, t: (0, bi, 0, 0),
+            pl.BlockSpec((4, bc, Cc), lambda bi, t: (0, bi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bc, 1, Cc), lambda bi, t: (bi, 0, 0),
+            pl.BlockSpec((bc, Cc), lambda bi, t: (bi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4), lambda bi, t: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -189,14 +253,13 @@ def triplet_rows_pallas(anc_cods, des_codes, ins_off, logP, match_emit,
             jax.ShapeDtypeStruct((n_cod, B, 3, Cc), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((3, bc, Cc), jnp.float32)],
-        # the resident [3, bc, 64, Cc] emission block alone is ~3 MB per
-        # 1k slots (x2 for pipelining) — the default 16 MB scoped-vmem cap
-        # was the old 1024-slot envelope; v5e has 128 MB physical VMEM
+        # ~40 live [bc, Cc] f32 register planes; the default 16 MB
+        # scoped-vmem cap binds at very long Cc — v5e has 128 MB physical
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(Gcod, emit, ins_off_p, gc4)
+    )(cost, E, ins_off_p, gc4)
     bnd = jnp.transpose(bnd, (0, 2, 1, 3))
     amax = jnp.transpose(amax, (0, 2, 1, 3))
 
@@ -205,7 +268,7 @@ def triplet_rows_pallas(anc_cods, des_codes, ins_off, logP, match_emit,
     cum = jax.lax.cummax(M0 - ins_off[:, :Cc_real], axis=1)
     I0 = jnp.concatenate([
         jnp.full((B, 1), NEG, jnp.float32),
-        cum[:, :-1] + (ins_off[:, 1:Cc_real] + (go - ge)),
+        cum[:, :-1] + (ins_off[:, 1:Cc_real] + go_ge),
     ], axis=1)
     b0 = jnp.stack(
         [M0, jnp.full((B, Cc_real), NEG, jnp.float32), I0], axis=0

@@ -16,10 +16,13 @@ from pathlib import Path
 # every source file whose change can alter compiled-TPU alignment results
 KERNEL_SOURCES = (
     "coati_tpu/kernels/wavefront_pallas.py",
+    "coati_tpu/kernels/triplet_pallas.py",
     "coati_tpu/align/wavefront.py",
     "coati_tpu/align/engine.py",
     "coati_tpu/align/longseq.py",
     "coati_tpu/align/semiring.py",
+    "coati_tpu/triplet_hmm.py",
+    "coati_tpu/triplet_wavefront.py",
 )
 
 

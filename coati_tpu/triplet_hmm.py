@@ -133,15 +133,27 @@ def build_triplet_model(aln: AlignmentParams) -> TripletModel:
 
 
 class _DP:
-    """Row-sweep DP engine over columns j (0..m) and codon lanes.
+    """Row-sweep DP engine over columns j (0..m), FACTORED over the codon
+    lane for codon models.
+
+    Factorization (the key TPU optimization, shared bit-for-bit by this
+    host engine, the XLA scan, and the Pallas kernel): within one codon
+    block the 61 chosen-codon lanes differ only by (a) the codon-entry
+    cost logP[anc_t, c'] and (b) the per-phase emission class
+    nuc(c', phase) in {A,C,G,T}. Under (max, +) both enter additively, so
+    the block computes 4 phase-1 variants (x1), 16 phase-2 variants
+    (x1,x2), 16 phase-3 cores, and folds (cost + phase-3 emission) as a
+    4-way max K[x1x2, j] = max_x3(cost[x1x2x3] + E[x3, j]) — ~36 row
+    computations instead of 3 x 61 laned rows (~5x fewer ops; the values
+    are exact because max reassociation is exact, and every f32 ADD below
+    is a single canonical expression tree all three engines share).
 
     The CANONICAL dtype is float32 — the reference's FST weights are f32
-    (OpenFst StdArc) and the device forward is f32, so both engines share
-    one arithmetic and traceback tie decisions agree bit-for-bit. All gap
-    constants are pre-cast to the dtype and composite sums are grouped
-    exactly as the device kernel groups them ((ng+ng) first, then added to
-    the row) so rounding is identical. dtype=float64 remains available for
-    oracle cross-checks."""
+    (OpenFst StdArc) — so traceback tie decisions agree bit-for-bit
+    across engines. Argmax lanes (codon64 encoding x1*16+x2*4+x3) use
+    first-maximal-group + first-maximal-payload rules that reproduce the
+    lexicographic first-lane tie rule. dtype=float64 remains available
+    for oracle cross-checks."""
 
     def __init__(self, model: TripletModel, anc: np.ndarray, des: np.ndarray,
                  dtype=np.float32):
@@ -167,6 +179,113 @@ class _DP:
         j = np.arange(self.Cc, dtype=dtype)
         self.ins_off = self.cumE + self.ge * j
         self.n_lanes = 61 if model.codon else 1
+        if model.codon:
+            # E[x, j] = match emission of intermediate nucleotide x at
+            # column j (j >= 1 consumes des[j-1]); column 0 never emits
+            E = np.zeros((4, self.Cc), dtype)
+            E[:, 1:] = model.match_emit[:4, des].astype(dtype)
+            self.E = E
+            # codon64-indexed entry costs (NEG at stops): lane64 =
+            # x1*16 + x2*4 + x3 so phase classes are bit-extracted
+            lp64 = np.full((61, 64), dtype(NEG), dtype)
+            lp64[:, C.COD61_TO_64] = model.logP.astype(dtype)
+            self.logP64 = lp64
+
+    # --- factored codon-block machinery (codon models) ----------------------
+    def _shiftmax3(self, M, D, I):
+        """core[j] = max3(M[j-1]+ng_ng, D[j-1]+gs, I[j-1]+gs_ng); NEG at 0.
+        Broadcasts over trailing group axes."""
+        out = np.full_like(M, NEG)
+        out[1:] = np.maximum(
+            np.maximum(M[:-1] + self.ng_ng, D[:-1] + self.gs),
+            I[:-1] + self.gs_ng,
+        )
+        return out
+
+    def _dmax3(self, M, D, I):
+        return np.maximum(np.maximum(M + self.ng_go, D + self.ge),
+                          I + self.gs_go)
+
+    def block_pieces(self, t, Mc, Dc, Ic):
+        """All factored rows of codon block t from the collapsed boundary
+        below it. Returns a dict of [Cc]- and [Cc, G]-shaped arrays."""
+        ET = self.E.T  # [Cc, 4]
+        core1 = self._shiftmax3(Mc, Dc, Ic)               # [Cc]
+        M1 = core1[:, None] + ET                          # [Cc, 4]
+        D1 = self._dmax3(Mc, Dc, Ic)                      # [Cc]
+        I1 = self.row_ins(M1)                             # [Cc, 4]
+        D1b = np.broadcast_to(D1[:, None], M1.shape)
+        core2 = self._shiftmax3(M1, D1b, I1)              # [Cc, 4]
+        M2 = (core2[:, :, None] + ET[:, None, :]).reshape(self.Cc, 16)
+        D2 = self._dmax3(M1, D1b, I1)                     # [Cc, 4] (per x1)
+        I2 = self.row_ins(M2)                             # [Cc, 16]
+        D2g = np.repeat(D2, 4, axis=1)                    # [Cc, 16]
+        core3 = self._shiftmax3(M2, D2g, I2)              # [Cc, 16]
+        D3 = self._dmax3(M2, D2g, I2)                     # [Cc, 16]
+        cost = self.logP64[self.anc[t]].reshape(16, 4)    # [16, 4]
+        ce = cost[None, :, :] + ET[:, None, :]            # [Cc, 16, 4]
+        K = ce.max(axis=2)                                # [Cc, 16]
+        Kpay = np.argmax(ce, axis=2).astype(np.int32)     # first-max x3
+        Mlane = core3 + K                                 # [Cc, 16]
+        KD = cost.max(axis=1)                             # [16]
+        KDpay = np.argmax(cost, axis=1).astype(np.int32)
+        Dlane = D3 + KD[None, :]                          # [Cc, 16]
+        return {
+            "core1": core1, "M1": M1, "D1": D1, "I1": I1,
+            "M2": M2, "D2": D2, "I2": I2,
+            "core3": core3, "D3": D3,
+            "K": K, "Kpay": Kpay, "KD": KD, "KDpay": KDpay,
+            "Mlane": Mlane, "Dlane": Dlane, "cost": cost,
+        }
+
+    def collapse_values(self, p):
+        """Collapsed boundary rows (Mc', Dc', Ic') above the block."""
+        Mc2 = p["Mlane"].max(axis=1)
+        Dc2 = p["Dlane"].max(axis=1)
+        W = p["Mlane"] - self.ins_off[:, None]
+        Wstar = W.max(axis=1)
+        run = np.maximum.accumulate(Wstar)
+        Ic2 = np.full(self.Cc, NEG, self.dtype)
+        Ic2[1:] = run[:-1] + (self.ins_off[1:] + self.go_ge)
+        return Mc2, Dc2, Ic2
+
+    def collapse_amax(self, p):
+        """argmax lanes (codon64) per state at the boundary above the
+        block. Rules (shared with the device engines): M/D pick the
+        first-maximal group then first-maximal payload; I picks the
+        earliest column u achieving the running max, with that column's
+        first-maximal (group, x3)."""
+        Cc = self.Cc
+        rows = np.arange(Cc)
+        gM = np.argmax(p["Mlane"], axis=1)
+        amaxM = (gM * 4 + p["Kpay"][rows, gM]).astype(np.int32)
+        gD = np.argmax(p["Dlane"], axis=1)
+        amaxD = (gD * 4 + p["KDpay"][gD]).astype(np.int32)
+        W = p["Mlane"] - self.ins_off[:, None]
+        Wstar = W.max(axis=1)
+        gW = np.argmax(W, axis=1)
+        lane_at_u = (gW * 4 + p["Kpay"][rows, gW]).astype(np.int64)
+        run = np.maximum.accumulate(Wstar)
+        prev_run = np.concatenate(
+            [np.asarray([-np.inf], Wstar.dtype), run[:-1]]
+        )
+        newmax = Wstar > prev_run
+        code = np.where(newmax, rows.astype(np.int64) * 64 + lane_at_u, -1)
+        code_run = np.maximum.accumulate(code)
+        amaxI = np.zeros(Cc, np.int32)
+        amaxI[1:] = (code_run[:-1] % 64).astype(np.int32)
+        return amaxM, amaxD, amaxI
+
+    def lane_rows3(self, t, p, lane64):
+        """Phase-3 rows for one bound lane: the lane's own (cost + e3)
+        replaces the group K."""
+        g, x3 = lane64 >> 2, lane64 & 3
+        cost_s = self.logP64[self.anc[t], lane64]
+        ce3 = cost_s + self.E[x3]
+        M3 = p["core3"][:, g] + ce3
+        D3l = p["D3"][:, g] + cost_s
+        I3 = self.row_ins(M3)
+        return M3, D3l, I3
 
     def init_row(self):
         """Boundary row 0: M=[one at j=0], D=-inf, I = insertion run margin."""
@@ -193,34 +312,11 @@ class _DP:
         return out
 
     def step_row(self, i, M_prev, D_prev, I_prev):
-        """Compute row i (consuming ancestor symbol i-1) from row i-1.
-
-        Returns laned rows [Cc, 61] for codon models (the caller collapses
-        at boundaries), plain [Cc] for the dna model.
-        """
+        """Compute row i (consuming ancestor symbol i-1) from row i-1 —
+        dna model only (codon models use the factored block machinery)."""
         m = self.m
         dt = self.dtype
-        if m.codon:
-            p = (i - 1) % 3
-            t = (i - 1) // 3
-            x = m.cnuc[p]  # [61]
-            emit = m.match_emit[x][:, self.des].T.astype(dt)  # [mlen, 61]
-            if p == 0:
-                cost = m.logP[self.anc[t]].astype(dt)  # [61] codon entry
-                Mp = _clp(M_prev)[:, None] + cost[None, :]
-                Dp = _clp(D_prev)[:, None] + cost[None, :]
-                Ip = _clp(I_prev)[:, None] + cost[None, :]
-            else:
-                Mp, Dp, Ip = M_prev, D_prev, I_prev
-            M = np.full((self.Cc, 61), NEG, dtype=dt)
-            M[1:] = np.maximum(
-                np.maximum(Mp[:-1] + self.ng_ng, Dp[:-1] + self.gs),
-                Ip[:-1] + self.gs_ng,
-            ) + emit
-            D = np.maximum(np.maximum(Mp + self.ng_go, Dp + self.ge),
-                           Ip + self.gs_go)
-            I = self.row_ins(M)
-            return M, D, I
+        assert not m.codon
         x = self.anc[i - 1]
         emit = m.match_emit_eff[x][self.des].astype(dt)
         M = np.full(self.Cc, NEG, dtype=dt)
@@ -248,14 +344,17 @@ def triplet_forward(model, anc_cods, des_codes, keep_boundaries=False,
     Mr, Dr, Ir = dp.init_row()
     boundaries = [(Mr.copy(), Dr.copy(), Ir.copy())] if keep_boundaries else None
 
-    period = 3 if model.codon else 1
-    for i in range(1, n + 1):
-        Mr, Dr, Ir = dp.step_row(i, Mr, Dr, Ir)
-        if i % period == 0:
-            Mc, Dc, Ic = _clp(Mr), _clp(Dr), _clp(Ir)
+    if model.codon:
+        for t in range(len(anc_cods)):
+            p = dp.block_pieces(t, Mr, Dr, Ir)
+            Mr, Dr, Ir = dp.collapse_values(p)
             if keep_boundaries:
-                boundaries.append((Mc, Dc, Ic))
-            Mr, Dr, Ir = Mc, Dc, Ic
+                boundaries.append((Mr, Dr, Ir))
+    else:
+        for i in range(1, n + 1):
+            Mr, Dr, Ir = dp.step_row(i, Mr, Dr, Ir)
+            if keep_boundaries:
+                boundaries.append((Mr, Dr, Ir))
 
     term = (
         Mr[-1] + dp.ng_ng,
@@ -306,57 +405,101 @@ def traceback_from_boundaries(model, anc: str, des: str, term, boundaries,
     forward and the device batch forward).
 
     Lane invariant: within a codon block the optimal path's lane c' is
-    constant; whenever the walk arrives at a row with no lane bound (walk
-    start, or after crossing a codon-entry transition), any argmax lane of
-    the current cell value is globally optimal because the value flowing
-    onward was collapsed at the next codon entry.
+    constant; whenever the walk arrives at a boundary with no lane bound
+    (walk start, or after crossing a codon-entry transition), the
+    collapse's argmax lane (codon64) of the current cell value is
+    globally optimal because the value flowing onward was collapsed at
+    the next codon entry. Phase-1/2 comparisons use the factored no-cost
+    rows — the entry cost is common to every same-lane candidate, and the
+    forward's cores were computed from exactly these values, so decisions
+    agree with the forward bit-for-bit.
     """
     n = len(anc)
     mnum = len(des)
     score = max(term)
     state = _argmax_pref(*term)
 
-    # dtype-local constants with device-identical grouping (dp.ng_ng etc.)
-    # so every comparison below rounds exactly like the device traceback
-    period = 3 if model.codon else 1
+    if not model.codon:
+        # dna: boundaries holds EVERY row (period 1)
+        s0: list[str] = []
+        s1: list[str] = []
+        i, j = n, mnum
+        while i > 0 or j > 0:
+            if state == MATCH:
+                s0.append(anc[i - 1])
+                s1.append(des[j - 1])
+                pi_, pj = i - 1, j - 1
+            elif state == DELETION:
+                s0.append(anc[i - 1])
+                s1.append("-")
+                pi_, pj = i - 1, j
+            else:
+                s0.append("-")
+                s1.append(des[j - 1])
+                pi_, pj = i, j - 1
+            if pi_ == 0 and pj == 0:
+                break
+            Mb, Db, Ib = boundaries[pi_]
+            mv, dv, iv = Mb[pj], Db[pj], Ib[pj]
+            if state == MATCH:
+                nxt = _argmax_pref(mv + dp.ng_ng, dv + dp.gs, iv + dp.gs_ng)
+            elif state == DELETION:
+                nxt = _argmax_pref(mv + dp.ng_go, dv + dp.ge, iv + dp.gs_go)
+            else:
+                nxt = MATCH if mv + dp.go > iv + dp.ge else INSERTION
+            i, j, state = pi_, pj, nxt
+        return "".join(reversed(s0)), "".join(reversed(s1)), float(-score)
 
-    # recompute laned rows of one block at a time: block t = rows
-    # t*period+1 .. (t+1)*period, seeded from boundary row t*period
-    cache_t = [-1, None]
+    pieces_cache = [-1, None]
 
-    def block_rows(t):
-        if cache_t[0] != t:
-            Mr, Dr, Ir = boundaries[t]
-            rows = []
-            for i in range(t * period + 1, (t + 1) * period + 1):
-                Mr, Dr, Ir = dp.step_row(i, Mr, Dr, Ir)
-                rows.append((Mr, Dr, Ir))
-            cache_t[0] = t
-            cache_t[1] = rows
-        return cache_t[1]
+    def pieces(t):
+        if pieces_cache[0] != t:
+            Mb, Db, Ib = boundaries[t]
+            pieces_cache[0] = t
+            pieces_cache[1] = dp.block_pieces(t, Mb, Db, Ib)
+        return pieces_cache[1]
 
-    def laned_cell(i, j):
-        """Laned (M, D, I) row-slices at row i (i >= 1), each [61] or scalar."""
-        rows = block_rows((i - 1) // period)
-        Mr, Dr, Ir = rows[(i - 1) % period]
-        if model.codon:
-            return Mr[j], Dr[j], Ir[j]  # [61] each
-        return Mr[j], Dr[j], Ir[j]  # scalars
+    rows3_cache: dict = {}
 
-    s0: list[str] = []
-    s1: list[str] = []
+    def rows3(t, lane64):
+        key = (t, lane64)
+        if key not in rows3_cache:
+            rows3_cache.clear()
+            rows3_cache[key] = dp.lane_rows3(t, pieces(t), lane64)
+        return rows3_cache[key]
+
+    amax_cache = [-1, None]
+
+    def amax(t):
+        if amax_cache[0] != t:
+            amax_cache[0] = t
+            amax_cache[1] = dp.collapse_amax(pieces(t))
+        return amax_cache[1]
+
+    def cell_vals(i, j, lane64):
+        t = (i - 1) // 3
+        r = (i - 1) % 3
+        p = pieces(t)
+        x1 = (lane64 >> 4) & 3
+        g = lane64 >> 2
+        if r == 0:
+            return p["M1"][j, x1], p["D1"][j], p["I1"][j, x1]
+        if r == 1:
+            return p["M2"][j, g], p["D2"][j, x1], p["I2"][j, g]
+        M3, D3l, I3 = rows3(t, lane64)
+        return M3[j], D3l[j], I3[j]
+
+    s0 = []
+    s1 = []
     i, j = n, mnum
     lane: int | None = None
 
-    def bind_lane(i, j, st):
-        """Pick an argmax lane for the current cell if none is bound."""
-        mv, dv, iv = laned_cell(i, j)
-        v = (mv, dv, iv)[st]
-        return int(np.argmax(v))
-
     while i > 0 or j > 0:
-        if model.codon and i > 0 and lane is None:
-            lane = bind_lane(i, j, state)
+        if i > 0 and lane is None:
+            # binds only happen at codon boundaries (walk start or after
+            # a crossing), where i is a multiple of 3
+            aM, aD, aI = amax(i // 3 - 1)
+            lane = int((aM, aD, aI)[state][j])
 
         if state == MATCH:
             s0.append(anc[i - 1])
@@ -375,24 +518,15 @@ def traceback_from_boundaries(model, anc: str, des: str, term, boundaries,
             i, j = 0, 0
             break
 
-        crossing_entry = (
-            model.codon and state != INSERTION and (i - 1) % period == 0
-        )
+        crossing_entry = state != INSERTION and (i - 1) % 3 == 0
 
-        # predecessor candidate values
-        if pi_ == 0:
-            Mb, Db, Ib = boundaries[0]
-            mv, dv, iv = Mb[pj], Db[pj], Ib[pj]
-        elif model.codon and crossing_entry:
-            # predecessor is the collapsed boundary row; the codon-entry
+        if pi_ == 0 or crossing_entry:
+            # predecessor is a collapsed boundary row; the codon-entry
             # cost is common to all three candidates and drops out
-            Mb, Db, Ib = boundaries[pi_ // period]
+            Mb, Db, Ib = boundaries[pi_ // 3]
             mv, dv, iv = Mb[pj], Db[pj], Ib[pj]
-        elif model.codon:
-            mvv, dvv, ivv = laned_cell(pi_, pj)
-            mv, dv, iv = mvv[lane], dvv[lane], ivv[lane]
         else:
-            mv, dv, iv = laned_cell(pi_, pj)
+            mv, dv, iv = cell_vals(pi_, pj, lane)
 
         if state == MATCH:
             nxt = _argmax_pref(mv + dp.ng_ng, dv + dp.gs, iv + dp.gs_ng)

@@ -37,11 +37,12 @@ NEG = np.float32(-1.0e30)
 import os as _os
 
 # Pallas triplet-forward envelope: chunk width and max padded slot count.
-# The resident [3, bc, 64, Cc] emission block is ~3 MB per 1k slots (x2
-# pipelined); with the kernel's 110 MB scoped-vmem budget the envelope
-# reaches 8k slots at bc=4 (measured; was 1024 under the default 16 MB cap)
-TRI_PALLAS_BC = int(_os.environ.get("COATI_TPU_TRI_BC", "4"))
-TRI_PALLAS_MAX_C = int(_os.environ.get("COATI_TPU_TRI_MAX_C", "8192"))
+# The factored kernel keeps ~40 live [bc, Cc] f32 planes (no more laned
+# [3, bc, 64, Cc] emission blocks), so bc and the length envelope both
+# grow vs the laned kernel (bc 4 -> 8, envelope 8k -> 16k slots under the
+# 110 MB scoped-vmem budget)
+TRI_PALLAS_BC = int(_os.environ.get("COATI_TPU_TRI_BC", "8"))
+TRI_PALLAS_MAX_C = int(_os.environ.get("COATI_TPU_TRI_MAX_C", "16384"))
 
 
 def _max3(a, b, c):
@@ -49,81 +50,133 @@ def _max3(a, b, c):
 
 
 @functools.partial(jax.jit, static_argnames=("n_cod",))
-def _triplet_rows(anc_cods, des_codes, ins_off, logP, match_emit, cnuc_int,
-                  gc, *, n_cod: int):
-    """Forward sweep over n_cod codon steps.
+def _triplet_rows(anc_cods, des_codes, ins_off, logP64, match_emit, gc, *,
+                  n_cod: int):
+    """Factored forward sweep over n_cod codon steps (see
+    triplet_hmm._DP: 4 + 16 + 16 row variants instead of 3 x 61 laned
+    rows; every f32 add mirrors the host expression tree bit-for-bit).
 
     anc_cods: [B, n_cod] int32 codon61 indices (padded arbitrarily)
     des_codes: [B, m] int32 in [0, 5)  (4 = N; padding arbitrary)
     ins_off: [B, m + 1] f32 insertion run offsets, computed on HOST numpy
         (cumsum grouping must match the host engine bit-for-bit; an
         in-graph cumsum may reassociate on TPU)
-    logP: [61, 61] f32; match_emit: [4, 5] f32
-    cnuc_int: [3, 61] int32 nuc(codon, phase)
+    logP64: [61, 64] f32 codon64-indexed entry costs (NEG at stops)
+    match_emit: [4, 5] f32
     gc: [4] f32 (ng, gs, go, ge)
 
-    Returns boundaries [n_cod + 1, 3, B, Cc] f32 (lane-collapsed rows at
-    i = 0, 3, 6, ..., 3*n_cod)."""
+    Returns (boundaries [n_cod + 1, 3, B, Cc] f32, amax
+    [n_cod + 1, 3, B, Cc] int32 CODON64 lane indices)."""
     B, m = des_codes.shape
     Cc = m + 1
     ng, gs, go, ge = (gc[i] for i in range(4))
-    ins_off = ins_off[:, None, :]  # [B, 1, Cc]
+    ng_ng = ng + ng
+    gs_ng = gs + ng
+    ng_go = ng + go
+    gs_go = gs + go
     go_ge = go - ge
 
-    def row_ins(M):
-        # I[j] = ins_off[j] + (go-ge) + max_{u<j}(M[u] - ins_off[u])
-        run = jax.lax.cummax(M - ins_off, axis=2)
-        pad = jnp.full(M.shape[:2] + (1,), NEG, jnp.float32)
+    # E[b, x, j] = match emission of intermediate nucleotide x at column j
+    E = jnp.concatenate(
+        [
+            jnp.zeros((B, 4, 1), jnp.float32),
+            jnp.transpose(match_emit[:4, des_codes], (1, 0, 2)),
+        ],
+        axis=2,
+    )  # [B, 4, Cc]
+
+    def shiftmax3(M, D, I):
+        body = _max3(
+            M[..., :-1] + ng_ng, D[..., :-1] + gs, I[..., :-1] + gs_ng
+        )
+        pad = jnp.full(M.shape[:-1] + (1,), NEG, jnp.float32)
+        return jnp.concatenate([pad, body], axis=-1)
+
+    def dmax3(M, D, I):
+        return _max3(M + ng_go, D + ge, I + gs_go)
+
+    def row_ins(M, off):
+        run = jax.lax.cummax(M - off, axis=M.ndim - 1)
+        pad = jnp.full(M.shape[:-1] + (1,), NEG, jnp.float32)
         return jnp.concatenate(
-            [pad, run[:, :, :-1] + (ins_off[:, :, 1:] + go_ge)], axis=2
+            [pad, run[..., :-1] + (off[..., 1:] + go_ge)], axis=-1
         )
 
-    # per-phase match emissions emit[p, b, lane, j] = me[nuc(lane, p),
-    # des[b, j-1]]: pure gathers (an MXU one-hot contraction would round
-    # the f32 emission values through bf16, breaking host parity)
-    ME = match_emit[:, des_codes]  # [4, B, m]
-    emit = jnp.transpose(ME[cnuc_int], (0, 2, 1, 3))  # [3, B, 61, m]
-    zcol = jnp.zeros((3, B, 61, 1), jnp.float32)
-    emit = jnp.concatenate([zcol, emit], axis=3)  # [3, B, 61, Cc]
+    g16 = jnp.arange(16, dtype=jnp.int32)[None, :, None]
+    u_iota = jnp.arange(Cc, dtype=jnp.int32)[None, :]
+    neg_inf = jnp.float32(-np.inf)
 
-    # boundary row 0
-    M0 = jnp.full((B, 1, Cc), NEG, jnp.float32).at[:, 0, 0].set(0.0)
-    D0 = jnp.full((B, 1, Cc), NEG, jnp.float32)
-    I0 = row_ins(M0)
+    def at_g(vals, g):
+        """vals[b, g[b, j], j] without a gather: 16-wide masked max."""
+        return jnp.max(
+            jnp.where(g16 == g[:, None, :], vals, -1), axis=1
+        )
+
+    # boundary row 0 (identical to the host init_row)
+    M0 = jnp.full((B, Cc), NEG, jnp.float32).at[:, 0].set(0.0)
+    D0 = jnp.full((B, Cc), NEG, jnp.float32)
+    I0 = row_ins(M0, ins_off)
 
     def step(carry, t):
-        Mr, Dr, Ir = carry  # collapsed [B, Cc]
+        Mc, Dc, Ic = carry  # collapsed [B, Cc]
         cods = jax.lax.dynamic_index_in_dim(
             anc_cods, t, axis=1, keepdims=False
         )  # [B]
-        cost = logP[cods][:, :, None]  # [B, 61, 1] codon entry
-        Mp = Mr[:, None, :] + cost
-        Dp = Dr[:, None, :] + cost
-        Ip = Ir[:, None, :] + cost
-        for p in range(3):
-            e = emit[p]  # [B, 61, Cc]
-            body = _max3(
-                Mp[:, :, :-1] + (ng + ng),
-                Dp[:, :, :-1] + gs,
-                Ip[:, :, :-1] + (gs + ng),
-            ) + e[:, :, 1:]
-            M = jnp.concatenate(
-                [jnp.full((B, 61, 1), NEG, jnp.float32), body], axis=2
-            )
-            D = _max3(Mp + (ng + go), Dp + ge, Ip + (gs + go))
-            I = row_ins(M)
-            Mp, Dp, Ip = M, D, I
-        Mc = jnp.max(Mp, axis=1)
-        Dc = jnp.max(Dp, axis=1)
-        Ic = jnp.max(Ip, axis=1)
-        amax = jnp.stack([
-            jnp.argmax(Mp, axis=1),
-            jnp.argmax(Dp, axis=1),
-            jnp.argmax(Ip, axis=1),
-        ], axis=0).astype(jnp.int32)  # [3, B, Cc] lane attaining the max
-        return (Mc, Dc, Ic), (jnp.stack([Mc, Dc, Ic], axis=0), amax)
+        cost = logP64[cods].reshape(B, 16, 4)  # [B, 16, 4]
 
-    init = (M0[:, 0], D0[:, 0], I0[:, 0])
+        core1 = shiftmax3(Mc, Dc, Ic)                      # [B, Cc]
+        M1 = core1[:, None, :] + E                          # [B, 4, Cc]
+        D1 = dmax3(Mc, Dc, Ic)                              # [B, Cc]
+        I1 = row_ins(M1, ins_off[:, None, :])               # [B, 4, Cc]
+        D1b = jnp.broadcast_to(D1[:, None, :], M1.shape)
+        core2 = shiftmax3(M1, D1b, I1)                      # [B, 4, Cc]
+        M2 = (core2[:, :, None, :] + E[:, None]).reshape(B, 16, Cc)
+        D2 = dmax3(M1, D1b, I1)                             # [B, 4, Cc]
+        I2 = row_ins(M2, ins_off[:, None, :])               # [B, 16, Cc]
+        D2g = jnp.repeat(D2, 4, axis=1)                     # [B, 16, Cc]
+        core3 = shiftmax3(M2, D2g, I2)                      # [B, 16, Cc]
+        D3 = dmax3(M2, D2g, I2)                             # [B, 16, Cc]
+        ce = cost[:, :, :, None] + E[:, None, :, :]         # [B, 16, 4, Cc]
+        K = jnp.max(ce, axis=2)                             # [B, 16, Cc]
+        Kpay = jnp.argmax(ce, axis=2).astype(jnp.int32)     # first-max x3
+        Mlane = core3 + K
+        KD = jnp.max(cost, axis=2)                          # [B, 16]
+        KDpay = jnp.argmax(cost, axis=2).astype(jnp.int32)
+        Dlane = D3 + KD[:, :, None]
+
+        Mc2 = jnp.max(Mlane, axis=1)
+        gM = jnp.argmax(Mlane, axis=1).astype(jnp.int32)    # [B, Cc]
+        amaxM = gM * 4 + at_g(Kpay, gM)
+        Dc2 = jnp.max(Dlane, axis=1)
+        gD = jnp.argmax(Dlane, axis=1).astype(jnp.int32)
+        amaxD = gD * 4 + at_g(
+            jnp.broadcast_to(KDpay[:, :, None], Kpay.shape), gD
+        )
+        W = Mlane - ins_off[:, None, :]
+        Wstar = jnp.max(W, axis=1)
+        gW = jnp.argmax(W, axis=1).astype(jnp.int32)
+        lane_at_u = gW * 4 + at_g(Kpay, gW)                 # [B, Cc]
+        run = jax.lax.cummax(Wstar, axis=1)
+        Ic2 = jnp.concatenate(
+            [
+                jnp.full((B, 1), NEG, jnp.float32),
+                run[:, :-1] + (ins_off[:, 1:] + go_ge),
+            ],
+            axis=1,
+        )
+        prev_run = jnp.concatenate(
+            [jnp.full((B, 1), neg_inf), run[:, :-1]], axis=1
+        )
+        newmax = Wstar > prev_run
+        code = jnp.where(newmax, u_iota * 64 + lane_at_u, -1)
+        code_run = jax.lax.cummax(code, axis=1)
+        amaxI = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), code_run[:, :-1] % 64], axis=1
+        )
+        amax = jnp.stack([amaxM, amaxD, amaxI], axis=0)      # [3, B, Cc]
+        return (Mc2, Dc2, Ic2), (jnp.stack([Mc2, Dc2, Ic2], axis=0), amax)
+
+    init = (M0, D0, I0)
     _, (ys, amax) = jax.lax.scan(step, init, jnp.arange(n_cod, dtype=jnp.int32))
     b0 = jnp.stack(init, axis=0)[None]  # [1, 3, B, Cc]
     a0 = jnp.zeros((1, 3, B, Cc), jnp.int32)  # row 0: never lane-bound
@@ -133,22 +186,27 @@ def _triplet_rows(anc_cods, des_codes, ins_off, logP, match_emit, cnuc_int,
 
 @functools.partial(jax.jit, static_argnames=("n_cod",))
 def _triplet_traceback(grid, amax, anc_cods, des_codes, ins_off, lens_t,
-                       lens_m, logP, match_emit, cnuc_int, gc, *,
-                       n_cod: int):
+                       lens_m, logP64, match_emit, gc, *, n_cod: int):
     """Batched on-device traceback over the boundary grid.
 
     Scans codon blocks last-to-first. Every active pair sits at the block's
     TOP boundary row when the block starts (crossings drain each walk to
-    exactly the block base), so its optimal descendant-codon lane is read
-    straight from the forward's stored boundary argmax — and the block's
-    three rows are recomputed for THAT SINGLE LANE per pair ([B, Cc]
-    planes, 61x cheaper than the full laned recompute). The walk itself is
-    a while_loop advancing all pairs one edge per iteration; only op
+    exactly the block base), so its optimal descendant-codon lane (codon64
+    encoding) is read straight from the forward's stored boundary argmax —
+    and the block's three rows are recomputed for THAT SINGLE LANE per pair
+    with the factored arithmetic (phase 1/2 rows exclude the entry cost,
+    which is common to every same-lane candidate; phase 3 carries it via
+    cost + e3, mirroring the forward's K term bit-for-bit). The walk is a
+    while_loop advancing all pairs one edge per iteration; only op
     sequences and final (i, j) leave the device. Row-0 insertions (i == 0,
     j > 0) are appended by the host."""
     B, m = des_codes.shape
     Cc = m + 1
     ng, gs, go, ge = (gc[x] for x in range(4))
+    ng_ng = ng + ng
+    gs_ng = gs + ng
+    ng_go = ng + go
+    gs_go = gs + go
     bidx = jnp.arange(B, dtype=jnp.int32)
 
     # terminal state & raw score (align_fst ShortestDistance convention)
@@ -162,12 +220,29 @@ def _triplet_traceback(grid, amax, anc_cods, des_codes, ins_off, lens_t,
     # insertion offsets arrive host-computed (identical to the forward's)
     go_ge = go - ge
 
+    E = jnp.concatenate(
+        [
+            jnp.zeros((B, 4, 1), jnp.float32),
+            jnp.transpose(match_emit[:4, des_codes], (1, 0, 2)),
+        ],
+        axis=2,
+    )  # [B, 4, Cc]
+
     def row_ins2(M):  # [B, Cc]
         run = jax.lax.cummax(M - ins_off, axis=1)
         pad = jnp.full((B, 1), NEG, jnp.float32)
         return jnp.concatenate(
             [pad, run[:, :-1] + (ins_off[:, 1:] + go_ge)], axis=1
         )
+
+    def shiftmax3(M, D, I):
+        body = _max3(M[:, :-1] + ng_ng, D[:, :-1] + gs, I[:, :-1] + gs_ng)
+        return jnp.concatenate(
+            [jnp.full((B, 1), NEG, jnp.float32), body], axis=1
+        )
+
+    def dmax3(M, D, I):
+        return _max3(M + ng_go, D + ge, I + gs_go)
 
     smax = 3 * n_cod + m + 2
     ops0 = jnp.full((smax, B), -1, jnp.int8)
@@ -180,33 +255,34 @@ def _triplet_traceback(grid, amax, anc_cods, des_codes, ins_off, lens_t,
         Ir = grid[t, 2]
 
         # bind each active pair's lane at the block's top boundary
-        lane = amax[t + 1, st, bidx, j]  # [B] in [0, 61)
+        lane = amax[t + 1, st, bidx, j]  # [B] codon64
         cods = jax.lax.dynamic_index_in_dim(
             anc_cods, t, axis=1, keepdims=False
         )
-        cost = logP[cods, lane][:, None]  # [B, 1] codon-entry at the lane
-        Mp = Mr + cost
-        Dp = Dr + cost
-        Ip = Ir + cost
-        rows = []
-        for p in range(3):
-            nuc = cnuc_int[p, lane]  # [B] intermediate nucleotide
-            e = match_emit[nuc[:, None], des_codes]  # [B, m]
-            body = _max3(
-                Mp[:, :-1] + (ng + ng),
-                Dp[:, :-1] + gs,
-                Ip[:, :-1] + (gs + ng),
-            ) + e
-            M = jnp.concatenate(
-                [jnp.full((B, 1), NEG, jnp.float32), body], axis=1
-            )
-            D = _max3(Mp + (ng + go), Dp + ge, Ip + (gs + go))
-            I = row_ins2(M)
-            rows.append((M, D, I))
-            Mp, Dp, Ip = M, D, I
-        RM = jnp.stack([r[0] for r in rows])  # [3, B, Cc]
-        RD = jnp.stack([r[1] for r in rows])
-        RI = jnp.stack([r[2] for r in rows])
+        cost_s = logP64[cods, lane][:, None]  # [B, 1] entry cost at lane
+        x1 = (lane >> 4) & 3
+        x2 = (lane >> 2) & 3
+        x3 = lane & 3
+        e1 = jnp.take_along_axis(E, x1[:, None, None], axis=1)[:, 0]
+        e2 = jnp.take_along_axis(E, x2[:, None, None], axis=1)[:, 0]
+        e3 = jnp.take_along_axis(E, x3[:, None, None], axis=1)[:, 0]
+
+        core1 = shiftmax3(Mr, Dr, Ir)
+        M1 = core1 + e1
+        D1 = dmax3(Mr, Dr, Ir)
+        I1 = row_ins2(M1)
+        core2 = shiftmax3(M1, D1, I1)
+        M2 = core2 + e2
+        D2 = dmax3(M1, D1, I1)
+        I2 = row_ins2(M2)
+        core3 = shiftmax3(M2, D2, I2)
+        ce3 = cost_s + e3
+        M3 = core3 + ce3
+        D3 = dmax3(M2, D2, I2) + cost_s
+        I3 = row_ins2(M3)
+        RM = jnp.stack([M1, M2, M3])  # [3, B, Cc]
+        RD = jnp.stack([D1, D2, D3])
+        RI = jnp.stack([I1, I2, I3])
 
         def wcond(c):
             i, j, st, s, ops = c
@@ -308,10 +384,12 @@ def _pack_batch(model, anc_encs, des_encs):
     ins_off = cumE + ge32 * np.arange(m + 1, dtype=np.float32)[None, :]
 
     gc = np.array([model.ng, model.gs, model.go, model.ge], np.float32)
+    # codon64-indexed entry costs (NEG at stops) — lane64 = x1*16+x2*4+x3
+    logP64 = np.full((61, 64), np.float32(NEG), np.float32)
+    logP64[:, C.COD61_TO_64] = model.logP.astype(np.float32)
     tables = (
-        jnp.asarray(model.logP.astype(np.float32)),
+        jnp.asarray(logP64),
         jnp.asarray(model.match_emit.astype(np.float32)),
-        jnp.asarray(model.cnuc.astype(np.int32)),
         jnp.asarray(gc),
     )
     return anc_p, des_p, lens_t, lens_m, ins_off, tables, n_cod
@@ -410,11 +488,11 @@ def triplet_align_batch(model, pairs, traceback: str = "device"):
             )
 
     if traceback == "device":
-        logP_t, match_emit_t, cnuc_int, gc_t = tables
+        logP64_t, match_emit_t, gc_t = tables
         ops, s, i_end, j_end, score = _triplet_traceback(
             grid, amax, jnp.asarray(anc_p), jnp.asarray(des_p),
             jnp.asarray(ins_off), jnp.asarray(lens_t), jnp.asarray(lens_m),
-            logP_t, match_emit_t, cnuc_int, gc_t, n_cod=n_cod
+            logP64_t, match_emit_t, gc_t, n_cod=n_cod
         )
         ops = np.asarray(jax.device_get(ops))
         s = np.asarray(s)
