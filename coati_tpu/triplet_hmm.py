@@ -614,6 +614,12 @@ def triplet_score(model, anc: str, des: str) -> float:
     return float(-max(term))
 
 
+def _tri_long_cells() -> int:
+    from coati_tpu.triplet_wavefront import TRIPLET_LONG_GRID_CELLS
+
+    return TRIPLET_LONG_GRID_CELLS
+
+
 def triplet_align_driver(aln: AlignmentParams) -> bool:
     """CLI driver for tri-mg / tri-ecm / dna (align_fst.cc:45-111)."""
     from coati_tpu import utils
@@ -630,9 +636,16 @@ def triplet_align_driver(aln: AlignmentParams) -> bool:
     anc, des = aln.seq(0), aln.seq(1)
     # large pairs route through the batched device engine (identical f32
     # arithmetic and tie-breaks, so strings match triplet_align exactly);
-    # small ones stay on the per-pair host sweep, which beats paying the
-    # jit/compile latency for a one-off CLI call
-    if model.codon and len(anc) * len(des) > 250_000:
+    # VERY large pairs — where the full boundary grid would not fit —
+    # through the segmented O(n)-memory two-pass path; small ones stay on
+    # the per-pair host sweep, which beats paying the jit/compile latency
+    # for a one-off CLI call
+    grid_cells = (len(anc) // 3 + 1) * (len(des) + 1)
+    if model.codon and grid_cells > _tri_long_cells():
+        from coati_tpu.triplet_wavefront import triplet_align_long
+
+        s0, s1, score = triplet_align_long(model, anc, des)
+    elif model.codon and len(anc) * len(des) > 250_000:
         from coati_tpu.triplet_wavefront import triplet_align_batch
 
         s0, s1, score = triplet_align_batch(model, [(anc, des)])[0]

@@ -49,12 +49,13 @@ def _max3(a, b, c):
     return jnp.maximum(jnp.maximum(a, b), c)
 
 
-@functools.partial(jax.jit, static_argnames=("n_cod",))
-def _triplet_rows(anc_cods, des_codes, ins_off, logP64, match_emit, gc, *,
-                  n_cod: int):
-    """Factored forward sweep over n_cod codon steps (see
-    triplet_hmm._DP: 4 + 16 + 16 row variants instead of 3 x 61 laned
-    rows; every f32 add mirrors the host expression tree bit-for-bit).
+@functools.partial(jax.jit, static_argnames=("n_cod", "keep_grid"))
+def _triplet_rows_carry(anc_cods, des_codes, ins_off, logP64, match_emit,
+                        gc, carry, *, n_cod: int, keep_grid: bool = True):
+    """Factored forward sweep over n_cod codon steps from a carried
+    collapsed boundary (see triplet_hmm._DP: 4 + 16 + 16 row variants
+    instead of 3 x 61 laned rows; every f32 add mirrors the host
+    expression tree bit-for-bit).
 
     anc_cods: [B, n_cod] int32 codon61 indices (padded arbitrarily)
     des_codes: [B, m] int32 in [0, 5)  (4 = N; padding arbitrary)
@@ -64,9 +65,12 @@ def _triplet_rows(anc_cods, des_codes, ins_off, logP64, match_emit, gc, *,
     logP64: [61, 64] f32 codon64-indexed entry costs (NEG at stops)
     match_emit: [4, 5] f32
     gc: [4] f32 (ng, gs, go, ge)
+    carry: (Mc, Dc, Ic) [B, Cc] collapsed boundary entering the segment
 
-    Returns (boundaries [n_cod + 1, 3, B, Cc] f32, amax
-    [n_cod + 1, 3, B, Cc] int32 CODON64 lane indices)."""
+    Returns ((boundaries [n_cod, 3, B, Cc] f32, amax [n_cod, 3, B, Cc]
+    int32 CODON64 lanes) or (None, None) with keep_grid=False, plus the
+    exiting carry) — the building block of the segmented O(n)-memory
+    long-triplet path."""
     B, m = des_codes.shape
     Cc = m + 1
     ng, gs, go, ge = (gc[i] for i in range(4))
@@ -111,11 +115,6 @@ def _triplet_rows(anc_cods, des_codes, ins_off, logP64, match_emit, gc, *,
         return jnp.max(
             jnp.where(g16 == g[:, None, :], vals, -1), axis=1
         )
-
-    # boundary row 0 (identical to the host init_row)
-    M0 = jnp.full((B, Cc), NEG, jnp.float32).at[:, 0].set(0.0)
-    D0 = jnp.full((B, Cc), NEG, jnp.float32)
-    I0 = row_ins(M0, ins_off)
 
     def step(carry, t):
         Mc, Dc, Ic = carry  # collapsed [B, Cc]
@@ -174,32 +173,89 @@ def _triplet_rows(anc_cods, des_codes, ins_off, logP64, match_emit, gc, *,
             [jnp.zeros((B, 1), jnp.int32), code_run[:, :-1] % 64], axis=1
         )
         amax = jnp.stack([amaxM, amaxD, amaxI], axis=0)      # [3, B, Cc]
-        return (Mc2, Dc2, Ic2), (jnp.stack([Mc2, Dc2, Ic2], axis=0), amax)
+        ys = (jnp.stack([Mc2, Dc2, Ic2], axis=0), amax) if keep_grid else None
+        return (Mc2, Dc2, Ic2), ys
 
-    init = (M0, D0, I0)
-    _, (ys, amax) = jax.lax.scan(step, init, jnp.arange(n_cod, dtype=jnp.int32))
-    b0 = jnp.stack(init, axis=0)[None]  # [1, 3, B, Cc]
-    a0 = jnp.zeros((1, 3, B, Cc), jnp.int32)  # row 0: never lane-bound
-    return (jnp.concatenate([b0, ys], axis=0),
-            jnp.concatenate([a0, amax], axis=0))
+    out_carry, ys = jax.lax.scan(
+        step, carry, jnp.arange(n_cod, dtype=jnp.int32)
+    )
+    if keep_grid:
+        return ys[0], ys[1], out_carry
+    return None, None, out_carry
+
+
+def triplet_init_carry(des_codes, ins_off, gc):
+    """Boundary row 0 (identical to the host init_row)."""
+    B, m = des_codes.shape
+    Cc = m + 1
+    go_ge = gc[2] - gc[3]
+    M0 = jnp.full((B, Cc), NEG, jnp.float32).at[:, 0].set(0.0)
+    D0 = jnp.full((B, Cc), NEG, jnp.float32)
+    run = jax.lax.cummax(M0 - ins_off, axis=1)
+    I0 = jnp.concatenate(
+        [
+            jnp.full((B, 1), NEG, jnp.float32),
+            run[:, :-1] + (ins_off[:, 1:] + go_ge),
+        ],
+        axis=1,
+    )
+    return M0, D0, I0
 
 
 @functools.partial(jax.jit, static_argnames=("n_cod",))
-def _triplet_traceback(grid, amax, anc_cods, des_codes, ins_off, lens_t,
-                       lens_m, logP64, match_emit, gc, *, n_cod: int):
-    """Batched on-device traceback over the boundary grid.
+def _triplet_rows(anc_cods, des_codes, ins_off, logP64, match_emit, gc, *,
+                  n_cod: int):
+    """Full-matrix forward: row-0 init + one segment over all codons.
+    Returns (boundaries [n_cod + 1, 3, B, Cc], amax [n_cod + 1, 3, B, Cc]
+    codon64; row 0 prepended)."""
+    B, m = des_codes.shape
+    Cc = m + 1
+    init = triplet_init_carry(des_codes, ins_off, gc)
+    bnd, amax, _ = _triplet_rows_carry(
+        anc_cods, des_codes, ins_off, logP64, match_emit, gc, init,
+        n_cod=n_cod,
+    )
+    b0 = jnp.stack(init, axis=0)[None]  # [1, 3, B, Cc]
+    a0 = jnp.zeros((1, 3, B, Cc), jnp.int32)  # row 0: never lane-bound
+    return (jnp.concatenate([b0, bnd], axis=0),
+            jnp.concatenate([a0, amax], axis=0))
 
-    Scans codon blocks last-to-first. Every active pair sits at the block's
-    TOP boundary row when the block starts (crossings drain each walk to
-    exactly the block base), so its optimal descendant-codon lane (codon64
-    encoding) is read straight from the forward's stored boundary argmax —
-    and the block's three rows are recomputed for THAT SINGLE LANE per pair
-    with the factored arithmetic (phase 1/2 rows exclude the entry cost,
-    which is common to every same-lane candidate; phase 3 carries it via
-    cost + e3, mirroring the forward's K term bit-for-bit). The walk is a
-    while_loop advancing all pairs one edge per iteration; only op
-    sequences and final (i, j) leave the device. Row-0 insertions (i == 0,
-    j > 0) are appended by the host."""
+
+def triplet_terminal(Mr, Dr, Ir, lens_m, gc):
+    """Terminal state & raw score from the final collapsed boundary
+    (align_fst ShortestDistance convention)."""
+    ng, gs = gc[0], gc[1]
+    bidx = jnp.arange(Mr.shape[0], dtype=jnp.int32)
+    tm = Mr[bidx, lens_m] + (ng + ng)
+    td = Dr[bidx, lens_m] + gs
+    ti = Ir[bidx, lens_m] + (gs + ng)
+    st0 = jnp.where(td > tm, 1, 0)
+    st0 = jnp.where(ti > jnp.maximum(tm, td), 2, st0).astype(jnp.int32)
+    return st0, _max3(tm, td, ti)
+
+
+@functools.partial(jax.jit, static_argnames=("S",))
+def _triplet_walk_seg(grid_seg, amax_seg, anc_seg, des_codes, ins_off,
+                      t_lo, state, logP64, match_emit, gc, *, S: int):
+    """Walk S codon blocks (global indices t_lo + S - 1 .. t_lo) of the
+    batched on-device traceback.
+
+    grid_seg: [S + 1, 3, B, Cc] collapsed boundaries t_lo .. t_lo + S
+    amax_seg: [S, 3, B, Cc] codon64 argmax lanes at boundaries
+        t_lo + 1 .. t_lo + S
+    state: (i, j, st, s, ops) walk carry (ops spans the WHOLE alignment)
+
+    Every active pair sits at a block's TOP boundary row when the block
+    starts (crossings drain each walk to exactly the block base), so its
+    optimal descendant-codon lane is read straight from the forward's
+    stored boundary argmax — and the block's three rows are recomputed
+    for THAT SINGLE LANE per pair with the factored arithmetic (phase 1/2
+    rows exclude the entry cost, which is common to every same-lane
+    candidate; phase 3 carries it via cost + e3, mirroring the forward's
+    K term bit-for-bit). The inner walk is a while_loop advancing all
+    pairs one edge per iteration; only op sequences and final (i, j)
+    leave the device. Row-0 insertions (i == 0, j > 0) are appended by
+    the host."""
     B, m = des_codes.shape
     Cc = m + 1
     ng, gs, go, ge = (gc[x] for x in range(4))
@@ -208,14 +264,6 @@ def _triplet_traceback(grid, amax, anc_cods, des_codes, ins_off, lens_t,
     ng_go = ng + go
     gs_go = gs + go
     bidx = jnp.arange(B, dtype=jnp.int32)
-
-    # terminal state & raw score (align_fst ShortestDistance convention)
-    tm = grid[lens_t, 0, bidx, lens_m] + (ng + ng)
-    td = grid[lens_t, 1, bidx, lens_m] + gs
-    ti = grid[lens_t, 2, bidx, lens_m] + (gs + ng)
-    st0 = jnp.where(td > tm, 1, 0)
-    st0 = jnp.where(ti > jnp.maximum(tm, td), 2, st0).astype(jnp.int32)
-    score = _max3(tm, td, ti)
 
     # insertion offsets arrive host-computed (identical to the forward's)
     go_ge = go - ge
@@ -244,20 +292,17 @@ def _triplet_traceback(grid, amax, anc_cods, des_codes, ins_off, lens_t,
     def dmax3(M, D, I):
         return _max3(M + ng_go, D + ge, I + gs_go)
 
-    smax = 3 * n_cod + m + 2
-    ops0 = jnp.full((smax, B), -1, jnp.int8)
-
     def block(carry, t):
         i, j, st, s, ops = carry
-        base_i = 3 * t
-        Mr = grid[t, 0]  # collapsed boundary below the block, [B, Cc]
-        Dr = grid[t, 1]
-        Ir = grid[t, 2]
+        base_i = 3 * (t_lo + t)
+        Mr = grid_seg[t, 0]  # collapsed boundary below the block, [B, Cc]
+        Dr = grid_seg[t, 1]
+        Ir = grid_seg[t, 2]
 
         # bind each active pair's lane at the block's top boundary
-        lane = amax[t + 1, st, bidx, j]  # [B] codon64
+        lane = amax_seg[t, st, bidx, j]  # [B] codon64
         cods = jax.lax.dynamic_index_in_dim(
-            anc_cods, t, axis=1, keepdims=False
+            anc_seg, t, axis=1, keepdims=False
         )
         cost_s = logP64[cods, lane][:, None]  # [B, 1] entry cost at lane
         x1 = (lane >> 4) & 3
@@ -330,14 +375,119 @@ def _triplet_traceback(grid, amax, anc_cods, des_codes, ins_off, lens_t,
         carry2 = jax.lax.while_loop(wcond, wbody, (i, j, st, s, ops))
         return carry2, None
 
-    i0 = 3 * lens_t
-    j0 = lens_m
-    s0 = jnp.zeros((B,), jnp.int32)
-    (i, j, st, s, ops), _ = jax.lax.scan(
-        block, (i0, j0, st0, s0, ops0),
-        jnp.arange(n_cod - 1, -1, -1, dtype=jnp.int32),
+    return jax.lax.scan(
+        block, state, jnp.arange(S - 1, -1, -1, dtype=jnp.int32)
+    )[0]
+
+
+def _triplet_traceback(grid, amax, anc_cods, des_codes, ins_off, lens_t,
+                       lens_m, logP64, match_emit, gc, *, n_cod: int):
+    """Full-matrix traceback: one segment over all codon blocks."""
+    B, m = des_codes.shape
+    bidx = jnp.arange(B, dtype=jnp.int32)
+    st0, score = triplet_terminal(
+        grid[lens_t, 0, bidx], grid[lens_t, 1, bidx],
+        grid[lens_t, 2, bidx], lens_m, gc,
+    )
+    smax = 3 * n_cod + m + 2
+    ops0 = jnp.full((smax, B), -1, jnp.int8)
+    state = (3 * lens_t, lens_m, st0, jnp.zeros((B,), jnp.int32), ops0)
+    i, j, st, s, ops = _triplet_walk_seg(
+        grid[:-1], amax[1:], anc_cods, des_codes, ins_off, jnp.int32(0),
+        state, logP64, match_emit, gc, S=n_cod,
     )
     return ops, s, i, j, score
+
+
+# boundary-grid cells above which a single long pair routes through the
+# segmented two-pass path (the full grid + amax cost ~24 B/cell; 32M
+# cells ~ 768 MB)
+TRIPLET_LONG_GRID_CELLS = int(_os.environ.get(
+    "COATI_TPU_TRI_LONG_CELLS", str(32 * 1024 * 1024)
+))
+
+
+def triplet_align_long(model, anc: str, des: str, *, seg_cods: int = 512):
+    """Align ONE long pair under a codon triplet model in bounded memory.
+
+    The checkpointed two-pass recipe of align/longseq.py applied to the
+    codon-boundary grid (the reference FST path dies at ~2 knt,
+    benchmark/libcoati-benchmark-tests.txt:8-10; the full boundary grid
+    is O(n*m) — ~8 GB for one 32 knt pair): pass 1 sweeps the factored
+    forward keeping only the collapsed [3, Cc] boundary carry,
+    checkpointing it every seg_cods codon blocks; pass 2 recomputes each
+    segment's boundary grid + argmax lanes from its checkpoint (last to
+    first) and drains the walk through it. Peak memory: ONE segment's
+    [S, 3, Cc] grid/amax + n/S checkpoints — O(n + m).
+
+    Strings and score are identical to triplet_align / the batched device
+    path (same factored f32 arithmetic, same walk)."""
+    from coati_tpu.triplet_hmm import encode_triplet_pair
+
+    if not model.codon:
+        raise ValueError("segmented triplet path requires a codon model")
+    ea, ed = encode_triplet_pair(model, anc, des)
+    anc_p, des_p, lens_t, lens_m, ins_off, tables, n_cod = _pack_batch(
+        model, [ea], [ed]
+    )
+    logP64_t, me_t, gc_t = tables
+    S = min(int(seg_cods), n_cod)
+    n_full = n_cod // S
+    S_rem = n_cod - n_full * S
+    seg_spans = [(k * S, S) for k in range(n_full)]
+    if S_rem:
+        seg_spans.append((n_full * S, S_rem))
+
+    aj = jnp.asarray(anc_p)
+    dj = jnp.asarray(des_p)
+    io = jnp.asarray(ins_off)
+    m = int(lens_m[0])
+
+    # pass 1: forward carry only, checkpoint entering each segment
+    carry = triplet_init_carry(dj, io, gc_t)
+    ckpts = []
+    for t_lo, S_i in seg_spans:
+        ckpts.append(carry)
+        _, _, carry = _triplet_rows_carry(
+            aj[:, t_lo : t_lo + S_i], dj, io, logP64_t, me_t, gc_t,
+            carry, n_cod=S_i, keep_grid=False,
+        )
+    st0, score = triplet_terminal(
+        carry[0], carry[1], carry[2], jnp.asarray(lens_m), gc_t
+    )
+
+    # pass 2: per segment (last to first) recompute grid + walk
+    smax = 3 * n_cod + m + 2
+    state = (
+        3 * jnp.asarray(lens_t), jnp.asarray(lens_m), st0,
+        jnp.zeros((1,), jnp.int32), jnp.full((smax, 1), -1, jnp.int8),
+    )
+    for k in range(len(seg_spans) - 1, -1, -1):
+        t_lo, S_i = seg_spans[k]
+        bnd, amax, _ = _triplet_rows_carry(
+            aj[:, t_lo : t_lo + S_i], dj, io, logP64_t, me_t, gc_t,
+            ckpts[k], n_cod=S_i, keep_grid=True,
+        )
+        grid_seg = jnp.concatenate(
+            [jnp.stack(ckpts[k], axis=0)[None], bnd], axis=0
+        )
+        state = _triplet_walk_seg(
+            grid_seg, amax, aj[:, t_lo : t_lo + S_i], dj, io,
+            jnp.int32(t_lo), state, logP64_t, me_t, gc_t, S=S_i,
+        )
+        i_cur, j_cur = state[0], state[1]
+        if bool(np.asarray(jax.device_get(
+            (i_cur <= 0) & (j_cur <= 0)
+        )).all()):
+            break
+
+    i, j, _, s, ops = state
+    ops_h = np.asarray(jax.device_get(ops))
+    s0, s1 = _decode_ops(
+        anc, des, ops_h[:, 0], int(np.asarray(s)[0]),
+        int(np.asarray(i)[0]), int(np.asarray(j)[0]),
+    )
+    return s0, s1, float(-np.asarray(score)[0])
 
 
 def triplet_boundaries_batch(model, anc_encs, des_encs):

@@ -387,3 +387,73 @@ def test_triplet_pallas_forward_bit_exact(tri_mg):
     )
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
+def test_triplet_long_segmented_matches_host(tri_mg):
+    """Segmented O(n)-memory two-pass path == per-pair host walk exactly,
+    with the walk crossing many segment boundaries (seg_cods=7) and a
+    ragged final segment."""
+    import random
+
+    from coati_tpu.constants import CODONS61
+    from coati_tpu.triplet_wavefront import triplet_align_long
+
+    rng = random.Random(23)
+    nts = "ACGT"
+    for trial in range(3):
+        n_cod = rng.randint(40, 60)
+        anc = "".join(rng.choice(CODONS61) for _ in range(n_cod))
+        des = list(anc)
+        for k in range(len(des)):
+            if rng.random() < 0.06:
+                des[k] = rng.choice(nts)
+        des = "".join(des)
+        for _ in range(4):
+            ln = rng.randint(1, 6)
+            pos = rng.randint(0, max(0, len(des) - ln))
+            if rng.random() < 0.5:
+                des = des[:pos] + des[pos + ln:]
+            else:
+                des = (des[:pos]
+                       + "".join(rng.choice(nts) for _ in range(ln))
+                       + des[pos:])
+        h0, h1, hsc = triplet_align(tri_mg, anc, des)
+        s0, s1, ssc = triplet_align_long(tri_mg, anc, des, seg_cods=7)
+        assert (s0, s1) == (h0, h1), (anc, des)
+        assert ssc == pytest.approx(hsc, abs=1e-4)
+
+
+def test_cli_routes_very_long_triplet_to_segmented(tri_mg, tmp_path,
+                                                   monkeypatch):
+    """Pairs whose boundary grid exceeds the memory bound route through
+    triplet_align_long (verified by shrinking the bound)."""
+    import random
+
+    import coati_tpu.triplet_wavefront as tw
+    from coati_tpu.constants import CODONS61
+
+    rng = random.Random(3)
+    anc = "".join(rng.choice(CODONS61) for _ in range(120))
+    des = anc[:90] + anc[120:]
+    inp = tmp_path / "long.fasta"
+    inp.write_text(f">1\n{anc}\n>2\n{des}\n")
+    out = tmp_path / "out.json"
+
+    calls = []
+    orig = tw.triplet_align_long
+
+    def spy(model, a, d, **kw):
+        calls.append(1)
+        return orig(model, a, d, seg_cods=11)
+
+    monkeypatch.setattr(tw, "TRIPLET_LONG_GRID_CELLS", 1000)
+    monkeypatch.setattr(tw, "triplet_align_long", spy)
+    assert main(["alignpair", str(inp), "-m", "tri-mg",
+                 "-o", str(out)]) == 0
+    assert calls == [1], "long pair did not route through the segmented path"
+    import json
+
+    obj = json.loads(out.read_text())
+    h0, h1, hsc = triplet_align(tri_mg, anc, des)
+    assert obj["alignment"] == {"1": h0, "2": h1}
+    assert obj["score"] == pytest.approx(hsc, abs=1e-4)
