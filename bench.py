@@ -197,11 +197,13 @@ def main() -> int:
     # benchmark/benchmark_main.cc.in:34-76 over benchmark_{156..32k}.fasta;
     # exact reference sequence lengths) ---------------------------------------
     ladder = []
-    if os.environ.get("BENCH_LADDER", "0" if QUICK else "1") == "1":
+    if os.environ.get("BENCH_LADDER", "1") == "1":
         ladder_spec = [
             (156, 1024), (990, 512), (1959, 128), (3945, 32),
             (7872, 8), (15624, 2), (29397, 1),
         ]
+        if QUICK:
+            ladder_spec = [(156, 64), (471, 16)]
         for nt, n in ladder_spec:
             lp = make_pairs(n, rng, length_mix=[(nt, 1.0)])
             le = [encode_marginal(a, d) for a, d in lp]
