@@ -157,15 +157,16 @@ import os as _os
 PALLAS_BC = int(_os.environ.get("COATI_TPU_PALLAS_BC", "32"))
 # diagonals per Pallas grid step (amortizes per-step overhead; padding
 # diagonals are discarded). Bit-identical for any value (test_pallas.py).
-# Measured on v5e (tools/tune_kernel.py): du=8 is +15-20% on short buckets
-# (C<=512), flat on long ones; du*bc*C above ~360 KB fails to compile.
-PALLAS_DU = int(_os.environ.get("COATI_TPU_PALLAS_DU", "8"))
+# Measured on v5e r4 (tools/tune_kernel.py): du=16 ~= du=8 at C=512-1152
+# (7.7-7.8 G stacked), both ahead of du=12/15; du*bc*C above ~360 KB
+# fails to compile (the envelope clamp below).
+PALLAS_DU = int(_os.environ.get("COATI_TPU_PALLAS_DU", "16"))
 # pairs stacked per batch-row along the diagonal axis (0/1 disables)
 PALLAS_STACK_R = int(_os.environ.get("COATI_TPU_PALLAS_STACK_R", "8"))
 _DU_VMEM_SLOTS = 32 * 4 * 2816  # proven envelope: bc=32, C=2816, du=4
 
 
-def _du_for(C: int, bc: int) -> int:
+def _du_for(C: int, bc: int, k: int = 1) -> int:
     """Diagonals per grid step for slot width C and chunk width bc."""
     return max(1, min(PALLAS_DU, _DU_VMEM_SLOTS // (bc * C)))
 # scratch budget: (3*ring + 15 + 3) * bc * C * 4 bytes must fit VMEM
@@ -214,13 +215,23 @@ def fused_align_ops_impl(aseq, bseq, la, lb, table32, gc, *, k, use_pallas,
             wavefront_pallas_stacked,
         )
 
-        corners, bp, d_base, row_idx, _ = wavefront_pallas_stacked(
+        corners, bp, d_base, row_idx, _P = wavefront_pallas_stacked(
             aseq, bseq, la, lb, table32, gc, k=k, R=stack_R, bc=bc,
             code_cols=code_cols, du=du,
         )
-        ops, (_, score) = traceback_ops_impl(
-            bp, corners, la, lb, k=k, d_base=d_base, row_idx=row_idx
+        from coati_tpu.kernels.wavefront_pallas import (
+            rebase_stacked_bp,
+            stacked_period,
         )
+
+        # P recomputed from the STATIC shapes (the jitted kernel's return
+        # value is a tracer under the outer jit; slice bounds must be
+        # Python ints)
+        NAp, NBp = aseq.shape[1], bseq.shape[1]
+        Cp = ((NBp + k + 127) // 128) * 128
+        P = stacked_period(NAp, NBp, Cp, k, du)
+        bp2 = rebase_stacked_bp(bp, P, NAp, NBp, k, stack_R)
+        ops, (_, score) = traceback_ops_impl(bp2, corners, la, lb, k=k)
         return ops, score
     if use_pallas:
         from coati_tpu.kernels.wavefront_pallas import wavefront_pallas
@@ -604,7 +615,7 @@ def _align_step(aseq, bseq, la, lb, table32, gc, k, dev, fetch=True,
                 break
     ladder = []
     if use_pallas0:
-        du0 = _du_for(C, bc0)
+        du0 = _du_for(C, bc0, k)
         ladder.append((True, bc0, du0, stack_R0))
         if du0 > 1:
             ladder.append((True, bc0, max(1, du0 // 2), stack_R0))

@@ -106,7 +106,7 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
             refs = refs[3:]
             if mode == "forward":
                 (Mout_ref, Dout_ref, Iout_ref, corner_ref,
-                 Pr_ref, gwin_ref, cap_ref) = refs
+                 Pr_ref, gwin_ref, cap_ref, *maybe_PrS) = refs
             elif want_bp:
                 bp_ref, corner_ref, Pr_ref, gwin_ref, cap_ref = refs
             else:
@@ -162,6 +162,12 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
         def shift3(x, s, mask):
             rolled = pltpu.roll(x, s, axis=2)
             return jnp.where(mask, LOWEST, rolled)
+
+        # NOTE r4: a static-ring variant (du % ring == 0, value-carried
+        # planes + k=1 write-side pre-shifted ring) was measured SLOWER
+        # (480 nt stacked: 6.6-7.1 vs 7.8 G) — value-carrying the ring
+        # forces live [3, BC, C] temporaries through VMEM each grid step,
+        # costing more than the rem + dynamic-slice reads it removed.
 
         # du diagonals per grid step: amortizes the per-step fixed work
         # (index maps, pipeline turnaround) over du full-width row updates
@@ -518,6 +524,7 @@ def _make_kernel_stacked(k: int, NA: int, C: int, BC: int, ring: int,
         capE = capE_ref[...]
         capO = capO_ref[...]
         r_hi = (g * du + du - 1) // P  # unclamped bank index of this step
+        hi_even = (r_hi & 1) == 0  # scalar parity of the HI/LO banks
 
         def shift3(x, s, mask):
             rolled = pltpu.roll(x, s, axis=2)
@@ -532,10 +539,13 @@ def _make_kernel_stacked(k: int, NA: int, C: int, BC: int, ring: int,
             win = jnp.where(j3 == 0, fresh_t, win)
 
             # --- per-cell pair index & bank masks (shared by emission
-            # and capture): r = (d - j) // P, at most 3 banks alive
-            r_cell = (d - j_i) // P  # [BC, C] (identical rows)
-            m_hi = r_cell == r_hi
-            m_mid = r_cell == (r_hi - 1)
+            # and capture). (d - j) // P == r  <=>  d - (r+1)P < j <= d - rP
+            # — two compares against SCALAR bounds instead of a per-cell
+            # integer division (VPU int-div is a long multi-op sequence);
+            # at most 3 banks alive
+            b_hi = d - r_hi * P
+            m_hi = (j_i > b_hi - P) & (j_i <= b_hi)
+            m_mid = (j_i > b_hi) & (j_i <= b_hi + P)
 
             oh = jnp.where(
                 m_hi[None], ohHI_ref[0],
@@ -576,12 +586,14 @@ def _make_kernel_stacked(k: int, NA: int, C: int, BC: int, ring: int,
             bp_ref[t] = (bp_m | (bp_d << 2) | (bp_i << 4)).astype(jnp.uint8)
 
             # --- corner capture into the parity bank of the cell's pair
+            # (banks r_hi and r_hi-2 share parity, so the cell parity is
+            # m_mid XOR the scalar hi-parity)
             cd_eff = jnp.where(
                 m_hi, cdHI_ref[0],
                 jnp.where(m_mid, cdMID_ref[0], cdLO_ref[0]),
             )
             sel = cd_eff == d
-            par_even = (r_cell & 1) == 0
+            par_even = m_mid ^ hi_even
             capE = jnp.where((sel & par_even)[None], P3, capE)
             capO = jnp.where((sel & (~par_even))[None], P3, capO)
 
@@ -627,12 +639,37 @@ def _diag_tables_stacked(k, NA, C, P, R, Dswp, gap_consts):
     return body, mM, mD, mI
 
 
-def stacked_period(NA: int, C: int, k: int, du: int) -> int:
+def stacked_period(NA: int, NB: int, C: int, k: int, du: int) -> int:
     """Diagonal period P: >= NA + k (one pair's rows fit), large enough
-    that one grid step spans at most 3 pair banks (du + C - 2 < 2P), and a
-    multiple of du (era boundaries align with grid steps)."""
-    need = max(NA + k, (C + du) // 2 + 1)
+    that one grid step spans at most 3 pair banks (du + C - 2 < 2P), a
+    multiple of du (era boundaries align with grid steps), AND large
+    enough that every pair's corner diagonal lands within era r + 1
+    (2P >= NA + NB + 2k - 1) — the corner-capture banks are flushed at
+    era boundaries, so a later corner would be exported-then-missed.
+    For square buckets (NB ~ NA) this last bound coincides with NA + k;
+    it binds only on rectangular buckets with NB >> NA (regression:
+    tests/test_pallas.py::test_stacked_rectangular_bucket)."""
+    need = max(NA + k, (C + du) // 2 + 1, (NA + NB + 2 * k) // 2)
     return -(-need // du) * du
+
+
+def rebase_stacked_bp(bp, P: int, NA: int, NB: int, k: int, R: int):
+    """Collapse the stacked bp stream's per-bank diagonal offsets: bank r's
+    pairs live at diagonals [r*P, r*P + Dloc) of bp [Dswp, rows, C]; slice
+    each bank's window and concatenate along rows -> one [Dloc, R*rows, C]
+    stream whose row p is pair p, walkable by traceback_ops_impl WITHOUT
+    d_base/row_idx (the d_base path sweeps all (R+1)*P diagonals with R
+    bank-selects per step — ~R x the work). Bank r's cells have pair-local
+    i < P, so each slice holds exactly its own bank's cells at (i+j, j);
+    stacked_period guarantees (R-1)*P + Dloc <= (R+1)*P."""
+    Dloc = NA + NB + 2 * k - 1
+    return jnp.concatenate(
+        [
+            jax.lax.slice_in_dim(bp, r * P, r * P + Dloc, axis=0)
+            for r in range(R)
+        ],
+        axis=1,
+    )
 
 
 @functools.partial(
@@ -654,7 +691,7 @@ def wavefront_pallas_stacked(
     B, NA = aseq.shape
     NB = bseq.shape[1]
     C = ((NB + k + 127) // 128) * 128
-    P = stacked_period(NA, C, k, du)
+    P = stacked_period(NA, NB, C, k, du)
     assert B % R == 0, (B, R)
     rows = B // R
     assert rows % bc == 0, (rows, bc)

@@ -39,18 +39,29 @@ NEG = -1.0e30
 MATCH, DELETION, INSERTION = 0, 1, 2
 
 
+_DES_LUT = np.full(256, -1, np.int32)
+for _ch, _v in (("A", 0), ("C", 1), ("G", 2), ("T", 3), ("U", 3), ("N", 4)):
+    _DES_LUT[ord(_ch)] = _v
+    _DES_LUT[ord(_ch.lower())] = _v
+
+
 def encode_triplet_des(des: str) -> np.ndarray:
     """A,C,G,T(U)->0..3, N->4; other symbols rejected (acceptor table,
-    mutation_fst.cc:310-327)."""
-    table = {"A": 0, "C": 1, "G": 2, "T": 3, "U": 3, "N": 4}
-    out = np.empty(len(des), dtype=np.int32)
-    for i, ch in enumerate(des):
-        v = table.get(ch.upper())
-        if v is None:
-            raise ValueError(
-                f"Invalid nucleotide {ch!r} for triplet model alignment."
-            )
-        out[i] = v
+    mutation_fst.cc:310-327). Vectorized LUT — the per-char Python loop
+    was 45% of the 64x999nt batch's end-to-end time (probe_triplet)."""
+    try:
+        raw = np.frombuffer(des.encode("ascii"), np.uint8)
+    except UnicodeEncodeError:
+        bad = next(ch for ch in des if ord(ch) > 127)
+        raise ValueError(
+            f"Invalid nucleotide {bad!r} for triplet model alignment."
+        ) from None
+    out = _DES_LUT[raw]
+    if out.min(initial=0) < 0:
+        bad = des[int(np.argmax(out < 0))]
+        raise ValueError(
+            f"Invalid nucleotide {bad!r} for triplet model alignment."
+        )
     return out
 
 

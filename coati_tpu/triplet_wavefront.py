@@ -243,7 +243,12 @@ def _triplet_walk_seg(grid_seg, amax_seg, anc_seg, des_codes, ins_off,
     grid_seg: [S + 1, 3, B, Cc] collapsed boundaries t_lo .. t_lo + S
     amax_seg: [S, 3, B, Cc] codon64 argmax lanes at boundaries
         t_lo + 1 .. t_lo + S
-    state: (i, j, st, s, ops) walk carry (ops spans the WHOLE alignment)
+    state: (i, j, st, ops) walk carry. ops is [6 * n_cod_total, B] int32,
+        run-encoded: row 6*t_global + phase holds (op | count << 2) for
+        codon block t_global, phases in BACKWARD-walk order
+        (0: insertion run at row 3, 1: step row3->2, 2: run at row 2,
+        3: step row2->1, 4: run at row 1, 5: step row1->boundary);
+        count == 0 rows are skipped by the decoder.
 
     Every active pair sits at a block's TOP boundary row when the block
     starts (crossings drain each walk to exactly the block base), so its
@@ -252,10 +257,22 @@ def _triplet_walk_seg(grid_seg, amax_seg, anc_seg, des_codes, ins_off,
     for THAT SINGLE LANE per pair with the factored arithmetic (phase 1/2
     rows exclude the entry cost, which is common to every same-lane
     candidate; phase 3 carries it via cost + e3, mirroring the forward's
-    K term bit-for-bit). The inner walk is a while_loop advancing all
-    pairs one edge per iteration; only op sequences and final (i, j)
-    leave the device. Row-0 insertions (i == 0, j > 0) are appended by
-    the host."""
+    K term bit-for-bit). Row-0 insertions (i == 0, j > 0) are appended by
+    the host.
+
+    The walk inside a block has a FIXED structure — every active pair
+    makes exactly 3 down-steps (M/D each consume one row; I never moves
+    i), and an insertion run can precede each one — so the block runs as
+    SIX static vector phases, no while_loop, no gathers (r4: the while
+    version cost 130+ ms at 64x999 nt against a 60 ms forward; ~0.4 ms
+    per block of loop/dispatch overhead). The insertion run exits in ONE
+    step via its closed form: from state I at column j the sequential
+    rule "leave when M[u] + go > I[u] + ge" reduces (go and the offsets
+    cancel against the prefix-max identity) to "leave at the LAST column
+    u <= j-1 where W[u] = M[u] - off[u] strictly exceeds its running
+    max" — exactly the forward's `newmax` positions, so ties reproduce
+    the one-edge-at-a-time walk bit-for-bit. Per-cell reads use one-hot
+    selects (mask + max; exactly one bit set), not gathers."""
     B, m = des_codes.shape
     Cc = m + 1
     ng, gs, go, ge = (gc[x] for x in range(4))
@@ -264,6 +281,12 @@ def _triplet_walk_seg(grid_seg, amax_seg, anc_seg, des_codes, ins_off,
     ng_go = ng + go
     gs_go = gs + go
     bidx = jnp.arange(B, dtype=jnp.int32)
+    u_Cc = jnp.arange(Cc, dtype=jnp.int32)[None, :]  # [1, Cc]
+    iota64 = jnp.arange(64, dtype=jnp.int32)[None, :]
+
+    def sel_j(plane, oh, fill):
+        """plane[b, j*] for the single j* with oh[b, j*] True — exact."""
+        return jnp.max(jnp.where(oh, plane, fill), axis=1)
 
     # insertion offsets arrive host-computed (identical to the forward's)
     go_ge = go - ge
@@ -292,25 +315,52 @@ def _triplet_walk_seg(grid_seg, amax_seg, anc_seg, des_codes, ins_off,
     def dmax3(M, D, I):
         return _max3(M + ng_go, D + ge, I + gs_go)
 
+    # [S, B, 64] entry costs: ONE bulk gather outside the scan
+    cost_rows = jnp.transpose(logP64[anc_seg], (1, 0, 2))
+    neg_inf = jnp.float32(-np.inf)
+
+    def amax_pref(a, b, c):
+        code = jnp.where(b > a, 1, 0)
+        return jnp.where(c > jnp.maximum(a, b), 2, code)
+
     def block(carry, t):
-        i, j, st, s, ops = carry
+        i, j, st, ops = carry
         base_i = 3 * (t_lo + t)
-        Mr = grid_seg[t, 0]  # collapsed boundary below the block, [B, Cc]
-        Dr = grid_seg[t, 1]
-        Ir = grid_seg[t, 2]
+        gr = jax.lax.dynamic_index_in_dim(
+            grid_seg, t, axis=0, keepdims=False
+        )  # [3, B, Cc]
+        Mr, Dr, Ir = gr[0], gr[1], gr[2]
 
         # bind each active pair's lane at the block's top boundary
-        lane = amax_seg[t, st, bidx, j]  # [B] codon64
-        cods = jax.lax.dynamic_index_in_dim(
-            anc_seg, t, axis=1, keepdims=False
+        am = jax.lax.dynamic_index_in_dim(
+            amax_seg, t, axis=0, keepdims=False
+        )  # [3, B, Cc]
+        am_st = jnp.where(
+            (st == 0)[:, None], am[0],
+            jnp.where((st == 1)[:, None], am[1], am[2]),
         )
-        cost_s = logP64[cods, lane][:, None]  # [B, 1] entry cost at lane
+        oh_j = u_Cc == j[:, None]
+        lane = sel_j(am_st, oh_j, 0)  # [B] codon64
+        cost_row = jax.lax.dynamic_index_in_dim(
+            cost_rows, t, axis=0, keepdims=False
+        )  # [B, 64]
+        cost_s = sel_j(cost_row, iota64 == lane[:, None], NEG)[:, None]
         x1 = (lane >> 4) & 3
         x2 = (lane >> 2) & 3
         x3 = lane & 3
-        e1 = jnp.take_along_axis(E, x1[:, None, None], axis=1)[:, 0]
-        e2 = jnp.take_along_axis(E, x2[:, None, None], axis=1)[:, 0]
-        e3 = jnp.take_along_axis(E, x3[:, None, None], axis=1)[:, 0]
+
+        def e_at(x):  # E[b, x[b], :] via 4-way select
+            return jnp.where(
+                (x == 0)[:, None], E[:, 0],
+                jnp.where(
+                    (x == 1)[:, None], E[:, 1],
+                    jnp.where((x == 2)[:, None], E[:, 2], E[:, 3]),
+                ),
+            )
+
+        e1 = e_at(x1)
+        e2 = e_at(x2)
+        e3 = e_at(x3)
 
         core1 = shiftmax3(Mr, Dr, Ir)
         M1 = core1 + e1
@@ -325,55 +375,66 @@ def _triplet_walk_seg(grid_seg, amax_seg, anc_seg, des_codes, ins_off,
         M3 = core3 + ce3
         D3 = dmax3(M2, D2, I2) + cost_s
         I3 = row_ins2(M3)
-        RM = jnp.stack([M1, M2, M3])  # [3, B, Cc]
-        RD = jnp.stack([D1, D2, D3])
-        RI = jnp.stack([I1, I2, I3])
+        rows_M = (M1, M2, M3)
+        rows_D = (D1, D2, D3)
+        rows_I = (I1, I2, I3)
 
-        def wcond(c):
-            i, j, st, s, ops = c
-            return jnp.any((i > base_i) & ((i > 0) | (j > 0)))
-
-        def wbody(c):
-            i, j, st, s, ops = c
-            act = (i > base_i) & ((i > 0) | (j > 0))
-
-            di = jnp.where(st == 0, 1, jnp.where(st == 1, 1, 0))
-            dj = jnp.where(st == 0, 1, jnp.where(st == 1, 0, 1))
-            pi = i - di
-            pj = j - dj
-            crossing = (st != 2) & ((i - 1) % 3 == 0)
-
-            ridx_p = jnp.clip(pi - base_i - 1, 0, 2)
-            mv_l = RM[ridx_p, bidx, pj]
-            dv_l = RD[ridx_p, bidx, pj]
-            iv_l = RI[ridx_p, bidx, pj]
-            # crossing-entry predecessor: the collapsed boundary row below
-            # (the codon-entry cost is common to all candidates)
-            mv = jnp.where(crossing, Mr[bidx, pj], mv_l)
-            dv = jnp.where(crossing, Dr[bidx, pj], dv_l)
-            iv = jnp.where(crossing, Ir[bidx, pj], iv_l)
-
-            def amax_pref(a, b, c):
-                code = jnp.where(b > a, 1, 0)
-                return jnp.where(c > jnp.maximum(a, b), 2, code)
-
-            nxt_m = amax_pref(mv + (ng + ng), dv + gs, iv + (gs + ng))
-            nxt_d = amax_pref(mv + (ng + go), dv + ge, iv + (gs + go))
-            nxt_i = jnp.where(mv + go > iv + ge, 0, 2)
-            nxt = jnp.where(st == 0, nxt_m, jnp.where(st == 1, nxt_d, nxt_i))
-
-            prev_ops = ops[s, bidx]
-            ops = ops.at[s, bidx].set(
-                jnp.where(act, st.astype(jnp.int8), prev_ops)
+        def run_exit_cols(Mrow):
+            """Ucol[b, j-1] = the column where an insertion run entered
+            state I at column j exits into M (see docstring)."""
+            W = Mrow - ins_off
+            run = jax.lax.cummax(W, axis=1)
+            prev = jnp.concatenate(
+                [jnp.full((B, 1), neg_inf), run[:, :-1]], axis=1
             )
-            s = s + act.astype(jnp.int32)
-            i = jnp.where(act, pi, i)
-            j = jnp.where(act, pj, j)
-            st = jnp.where(act, nxt.astype(jnp.int32), st)
-            return (i, j, st, s, ops)
+            newmax = W > prev
+            return jax.lax.cummax(
+                jnp.where(newmax, jnp.broadcast_to(u_Cc, (B, Cc)), -1),
+                axis=1,
+            )
 
-        carry2 = jax.lax.while_loop(wcond, wbody, (i, j, st, s, ops))
-        return carry2, None
+        ops_rows = []
+        for ph in range(6):
+            act = (i > base_i) & ((i > 0) | (j > 0))
+            if ph % 2 == 0:
+                # insertion run at row 3 - ph//2 (pairs at this row in
+                # state I jump to the run's entry column in ONE phase)
+                r = 2 - ph // 2
+                run_here = act & (st == 2)
+                Ucol = run_exit_cols(rows_M[r])
+                u = sel_j(Ucol, u_Cc == (j - 1)[:, None], 0)
+                cnt = jnp.where(run_here, j - u, 0)
+                ops_rows.append(jnp.int32(2) | (cnt << 2))
+                j = jnp.where(run_here, u, j)
+                st = jnp.where(run_here, 0, st)
+            else:
+                # one M/D down-step; reads the row below (the boundary
+                # for the last step — the crossing read, where the
+                # codon-entry cost is common to all candidates)
+                rb = 1 - ph // 2
+                dj = jnp.where(st == 0, 1, 0)
+                pj = j - dj
+                oh_pj = u_Cc == pj[:, None]
+                if ph < 5:
+                    Mv, Dv, Iv = rows_M[rb], rows_D[rb], rows_I[rb]
+                else:
+                    Mv, Dv, Iv = Mr, Dr, Ir
+                mv = sel_j(Mv, oh_pj, NEG)
+                dv = sel_j(Dv, oh_pj, NEG)
+                iv = sel_j(Iv, oh_pj, NEG)
+                nxt_m = amax_pref(mv + (ng + ng), dv + gs, iv + (gs + ng))
+                nxt_d = amax_pref(mv + (ng + go), dv + ge, iv + (gs + go))
+                nxt = jnp.where(st == 0, nxt_m, nxt_d)
+                cnt = act.astype(jnp.int32)
+                ops_rows.append(st | (cnt << 2))
+                i = jnp.where(act, i - 1, i)
+                j = jnp.where(act, pj, j)
+                st = jnp.where(act, nxt, st)
+
+        ops = jax.lax.dynamic_update_slice(
+            ops, jnp.stack(ops_rows), (6 * (t_lo + t), 0)
+        )
+        return (i, j, st, ops), None
 
     return jax.lax.scan(
         block, state, jnp.arange(S - 1, -1, -1, dtype=jnp.int32)
@@ -382,21 +443,21 @@ def _triplet_walk_seg(grid_seg, amax_seg, anc_seg, des_codes, ins_off,
 
 def _triplet_traceback(grid, amax, anc_cods, des_codes, ins_off, lens_t,
                        lens_m, logP64, match_emit, gc, *, n_cod: int):
-    """Full-matrix traceback: one segment over all codon blocks."""
+    """Full-matrix traceback: one segment over all codon blocks.
+    Returns (run-encoded ops [6*n_cod, B] int32, i_end, j_end, score)."""
     B, m = des_codes.shape
     bidx = jnp.arange(B, dtype=jnp.int32)
     st0, score = triplet_terminal(
         grid[lens_t, 0, bidx], grid[lens_t, 1, bidx],
         grid[lens_t, 2, bidx], lens_m, gc,
     )
-    smax = 3 * n_cod + m + 2
-    ops0 = jnp.full((smax, B), -1, jnp.int8)
-    state = (3 * lens_t, lens_m, st0, jnp.zeros((B,), jnp.int32), ops0)
-    i, j, st, s, ops = _triplet_walk_seg(
+    ops0 = jnp.zeros((6 * n_cod, B), jnp.int32)
+    state = (3 * lens_t, lens_m, st0, ops0)
+    i, j, st, ops = _triplet_walk_seg(
         grid[:-1], amax[1:], anc_cods, des_codes, ins_off, jnp.int32(0),
         state, logP64, match_emit, gc, S=n_cod,
     )
-    return ops, s, i, j, score
+    return ops, i, j, score
 
 
 # boundary-grid cells above which a single long pair routes through the
@@ -457,10 +518,9 @@ def triplet_align_long(model, anc: str, des: str, *, seg_cods: int = 512):
     )
 
     # pass 2: per segment (last to first) recompute grid + walk
-    smax = 3 * n_cod + m + 2
     state = (
         3 * jnp.asarray(lens_t), jnp.asarray(lens_m), st0,
-        jnp.zeros((1,), jnp.int32), jnp.full((smax, 1), -1, jnp.int8),
+        jnp.zeros((6 * n_cod, 1), jnp.int32),
     )
     for k in range(len(seg_spans) - 1, -1, -1):
         t_lo, S_i = seg_spans[k]
@@ -481,10 +541,10 @@ def triplet_align_long(model, anc: str, des: str, *, seg_cods: int = 512):
         )).all()):
             break
 
-    i, j, _, s, ops = state
+    i, j, _, ops = state
     ops_h = np.asarray(jax.device_get(ops))
     s0, s1 = _decode_ops(
-        anc, des, ops_h[:, 0], int(np.asarray(s)[0]),
+        anc, des, ops_h[:, 0],
         int(np.asarray(i)[0]), int(np.asarray(j)[0]),
     )
     return s0, s1, float(-np.asarray(score)[0])
@@ -545,27 +605,36 @@ def _pack_batch(model, anc_encs, des_encs):
     return anc_p, des_p, lens_t, lens_m, ins_off, tables, n_cod
 
 
-def _decode_ops(anc, des, ops_b, n_ops, i_end, j_end):
-    """Rebuild aligned strings from a backward op sequence (0=M 1=D 2=I)
-    ending at (i_end, j_end); leading row-0 insertions cover des[:j_end]."""
+def _decode_ops(anc, des, runs_b, i_end, j_end):
+    """Rebuild aligned strings from the walk's run-encoded op rows
+    (row 6*t + phase = op | count << 2, backward-walk order; see
+    _triplet_walk_seg) ending at (i_end, j_end); leading row-0
+    insertions cover des[:j_end]. Forward order = blocks ascending,
+    phases descending within each block."""
     s0 = ["-" * j_end]
     s1 = [des[:j_end]]
     ia, jb = i_end, j_end
-    for t in range(n_ops - 1, -1, -1):
-        op = ops_b[t]
-        if op == 0:
-            s0.append(anc[ia])
-            s1.append(des[jb])
-            ia += 1
-            jb += 1
-        elif op == 1:
-            s0.append(anc[ia])
-            s1.append("-")
-            ia += 1
-        else:
-            s0.append("-")
-            s1.append(des[jb])
-            jb += 1
+    n_blocks = len(runs_b) // 6
+    for tb in range(n_blocks):
+        for ph in range(5, -1, -1):
+            v = int(runs_b[6 * tb + ph])
+            cnt = v >> 2
+            if cnt == 0:
+                continue
+            op = v & 3
+            if op == 0:
+                s0.append(anc[ia : ia + cnt])
+                s1.append(des[jb : jb + cnt])
+                ia += cnt
+                jb += cnt
+            elif op == 1:
+                s0.append(anc[ia : ia + cnt])
+                s1.append("-" * cnt)
+                ia += cnt
+            else:
+                s0.append("-" * cnt)
+                s1.append(des[jb : jb + cnt])
+                jb += cnt
     return "".join(s0), "".join(s1)
 
 
@@ -639,20 +708,19 @@ def triplet_align_batch(model, pairs, traceback: str = "device"):
 
     if traceback == "device":
         logP64_t, match_emit_t, gc_t = tables
-        ops, s, i_end, j_end, score = _triplet_traceback(
+        ops, i_end, j_end, score = _triplet_traceback(
             grid, amax, jnp.asarray(anc_p), jnp.asarray(des_p),
             jnp.asarray(ins_off), jnp.asarray(lens_t), jnp.asarray(lens_m),
             logP64_t, match_emit_t, gc_t, n_cod=n_cod
         )
         ops = np.asarray(jax.device_get(ops))
-        s = np.asarray(s)
         i_end = np.asarray(i_end)
         j_end = np.asarray(j_end)
         score = np.asarray(score)
         out = []
         for b, (anc, des) in enumerate(pairs):
             s0, s1 = _decode_ops(
-                anc, des, ops[:, b], int(s[b]), int(i_end[b]), int(j_end[b])
+                anc, des, ops[:, b], int(i_end[b]), int(j_end[b])
             )
             out.append((s0, s1, float(-score[b])))
         return out

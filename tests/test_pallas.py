@@ -185,7 +185,13 @@ def test_pallas_forward_matches_xla(mg94_table, k):
         np.testing.assert_allclose(x1, x2, atol=1e-4)
 
 
-@pytest.mark.parametrize("k,du", [(1, 2), (1, 4), (3, 2), (3, 5)])
+@pytest.mark.parametrize(
+    "k,du",
+    [(1, 2), (1, 4), (3, 2), (3, 5),
+     # du % ring == 0 -> static ring-slot indexing; k=1 additionally
+     # uses the write-side pre-shifted ring (sshift)
+     (1, 3), (1, 6), (3, 4), (3, 8)],
+)
 def test_pallas_multidiag_matches_single(mg94_table, k, du):
     """du>1 (multiple diagonals per grid step) is bit-identical to du=1:
     same corners, same valid-region backpointers."""
@@ -236,8 +242,13 @@ def test_pallas_multidiag_forward(mg94_table):
     np.testing.assert_array_equal(np.asarray(Is1), np.asarray(Is2)[:D])
 
 
-@pytest.mark.parametrize("k,R", [(1, 4), (3, 4), (1, 8)])
-def test_pallas_stacked_matches_plain(mg94_table, k, R):
+@pytest.mark.parametrize(
+    "k,R,du",
+    # du chosen to cover static ring + k=1 pre-shift (1,4,3), static ring
+    # at k=3 (3,4,4), and the dynamic-ring fallback (1,8,4)
+    [(1, 4, 3), (3, 4, 4), (1, 8, 4)],
+)
+def test_pallas_stacked_matches_plain(mg94_table, k, R, du):
     """Diagonal-stacked kernel (R pairs per batch-row) == the XLA kernel:
     identical strings AND scores on random mixed-length batches, ties
     included (every cell sees bit-identical inputs by construction)."""
@@ -290,7 +301,7 @@ def test_pallas_stacked_matches_plain(mg94_table, k, R):
     corners, bp, d_base, row_idx, _ = wavefront_pallas_stacked(
         jnp.asarray(aseq), jnp.asarray(bseq), jnp.asarray(la),
         jnp.asarray(lb), jnp.asarray(table32), jnp.asarray(gc),
-        k=k, R=R, bc=bc, du=4, interpret=True,
+        k=k, R=R, bc=bc, du=du, interpret=True,
     )
     ops_s, (_, score_s) = traceback_ops(
         bp, corners, jnp.asarray(la), jnp.asarray(lb), k=k,
@@ -299,6 +310,81 @@ def test_pallas_stacked_matches_plain(mg94_table, k, R):
     rs = ops_to_strings(np.asarray(ops_s)[::-1], np.asarray(score_s),
                         astrs, bstrs, k)
     for a, b in zip(rx, rs):
+        assert (a.seq0, a.seq1) == (b.seq0, b.seq1)
+        assert np.float32(a.score) == np.float32(b.score)
+
+
+def test_stacked_rectangular_bucket(mg94_table):
+    """Rectangular buckets (descendants much longer than ancestors) in the
+    stacked kernel: before stacked_period learned the NA+NB bound, a pair's
+    corner diagonal could land past era r+1, get flushed-then-missed by
+    the parity cap banks, and return -3.4e38 scores SILENTLY. Also covers
+    rebase_stacked_bp (the bank-slice traceback path the engine uses)."""
+    import random
+
+    from coati_tpu.align.engine import _align_step_jit, ops_to_strings
+    from coati_tpu.align.wavefront import traceback_ops
+    from coati_tpu.constants import CODONS61
+    from coati_tpu.kernels.wavefront_pallas import (
+        rebase_stacked_bp,
+        stacked_period,
+        wavefront_pallas_stacked,
+    )
+    from coati_tpu.utils import encode_marginal
+
+    k, R, bc = 1, 4, 4
+    B = R * bc
+    rng = random.Random(31)
+    gap = GapParams(len=k)
+    gc = gap_consts_array(gap)
+    enc_as, enc_bs, astrs, bstrs = [], [], [], []
+    for _ in range(B):
+        anc = "".join(rng.choice(CODONS61) for _ in range(rng.randint(8, 30)))
+        des = "".join(rng.choice("ACGT") for _ in range(rng.randint(380, 470)))
+        ea, eb = encode_marginal(anc, des)
+        enc_as.append(ea)
+        enc_bs.append(eb)
+        astrs.append(anc)
+        bstrs.append(des)
+    NA = max(len(a) for a in enc_as)
+    NB = max(len(b) for b in enc_bs)
+    aseq = np.zeros((B, NA), np.int32)
+    bseq = np.zeros((B, NB), np.int32)
+    la = np.array([len(a) for a in enc_as], np.int32)
+    lb = np.array([len(b) for b in enc_bs], np.int32)
+    for i, (a, b) in enumerate(zip(enc_as, enc_bs)):
+        aseq[i, : len(a)] = a
+        bseq[i, : len(b)] = b
+    # this shape must actually exercise the rectangular regime; du=3 also
+    # covers the static-ring + pre-shifted path in the stacked kernel
+    C = ((NB + k + 127) // 128) * 128
+    du = 3
+    P = stacked_period(NA, NB, C, k, du)
+    assert 2 * P >= NA + NB + 2 * k - 1
+
+    table32 = np.asarray(mg94_table, np.float32)
+    ops_x, score_x = _align_step_jit(
+        jnp.asarray(aseq), jnp.asarray(bseq), jnp.asarray(la),
+        jnp.asarray(lb), jnp.asarray(table32), jnp.asarray(gc),
+        k=k, use_pallas=False,
+    )
+    rx = ops_to_strings(np.asarray(ops_x)[::-1], np.asarray(score_x),
+                        astrs, bstrs, k)
+
+    corners, bp, d_base, row_idx, P2 = wavefront_pallas_stacked(
+        jnp.asarray(aseq), jnp.asarray(bseq), jnp.asarray(la),
+        jnp.asarray(lb), jnp.asarray(table32), jnp.asarray(gc),
+        k=k, R=R, bc=bc, du=du, interpret=True,
+    )
+    assert int(P2) == P
+    bp2 = rebase_stacked_bp(bp, P, NA, NB, k, R)
+    ops_s, (_, score_s) = traceback_ops(
+        bp2, corners, jnp.asarray(la), jnp.asarray(lb), k=k,
+    )
+    rs = ops_to_strings(np.asarray(ops_s)[::-1], np.asarray(score_s),
+                        astrs, bstrs, k)
+    for a, b in zip(rx, rs):
+        assert np.isfinite(b.score)
         assert (a.seq0, a.seq1) == (b.seq0, b.seq1)
         assert np.float32(a.score) == np.float32(b.score)
 

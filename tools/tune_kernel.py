@@ -51,6 +51,7 @@ def main() -> int:
     ]
     dus = [int(x) for x in os.environ.get("TUNE_DU", "1,2,4,8").split(",")]
     bcs = [int(x) for x in os.environ.get("TUNE_BC", "32").split(",")]
+    rs = [int(x) for x in os.environ.get("TUNE_R", "1").split(",")]
     reps = int(os.environ.get("TUNE_REPS", "5"))
 
     for NA, NB, B in shapes:
@@ -63,28 +64,31 @@ def main() -> int:
         true_cells = float(B) * NA * NB
         for bc in bcs:
             for du in dus:
-                kw = dict(k=1, use_pallas=True, code_cols=(0, 1, 2, 3),
-                          bc=bc, du=du)
-                try:
-                    ops, score = _align_step_jit(*args, table, gc, **kw)
-                    np.asarray(score)  # block (compile + run 1)
-                    # async back-to-back launches, block once at the end:
-                    # mirrors the engine's chunk pipeline
-                    t0 = time.time()
-                    outs = [
-                        _align_step_jit(*args, table, gc, **kw)
-                        for _ in range(reps)
-                    ]
-                    for _, s in outs:
-                        np.asarray(s)
-                    dt = (time.time() - t0) / reps
-                    print(f"NA={NA} B={B} bc={bc} du={du}: "
-                          f"{true_cells/dt/1e9:.2f} Gcells/s "
-                          f"({dt*1e3:.0f} ms/call)", flush=True)
-                except Exception as exc:
-                    print(f"NA={NA} B={B} bc={bc} du={du}: FAIL "
-                          f"{type(exc).__name__}: {str(exc)[:120]}",
-                          flush=True)
+                for R in rs:
+                    kw = dict(k=1, use_pallas=True, code_cols=(0, 1, 2, 3),
+                              bc=bc, du=du, stack_R=R)
+                    if R > 1 and (B // R) % bc != 0:
+                        continue
+                    try:
+                        ops, score = _align_step_jit(*args, table, gc, **kw)
+                        np.asarray(score)  # block (compile + run 1)
+                        # async back-to-back launches, block once at the
+                        # end: mirrors the engine's chunk pipeline
+                        t0 = time.time()
+                        outs = [
+                            _align_step_jit(*args, table, gc, **kw)
+                            for _ in range(reps)
+                        ]
+                        for _, s in outs:
+                            np.asarray(s)
+                        dt = (time.time() - t0) / reps
+                        print(f"NA={NA} B={B} bc={bc} du={du} R={R}: "
+                              f"{true_cells/dt/1e9:.2f} Gcells/s "
+                              f"({dt*1e3:.0f} ms/call)", flush=True)
+                    except Exception as exc:
+                        print(f"NA={NA} B={B} bc={bc} du={du} R={R}: FAIL "
+                              f"{type(exc).__name__}: {str(exc)[:120]}",
+                              flush=True)
     return 0
 
 
