@@ -261,6 +261,33 @@ def test_cli_tri_rejects_bad_anc(tmp_path):
 
 
 # --- device batch path (triplet_wavefront) -----------------------------------
+def test_triplet_device_walk_run_encoding(tri_mg):
+    """Deterministic stress for the run-encoded 6-phase device walk:
+    long insertion runs (one op row must carry count >> 1), insertions
+    plus deletions in the same region, and a descendant shorter than the
+    ancestor — device strings/scores must equal the host engine exactly."""
+    from coati_tpu.triplet_hmm import triplet_align
+    from coati_tpu.triplet_wavefront import triplet_align_batch
+
+    pairs = [
+        # 15-nt insertion in the middle: a long single I-run
+        ("GCGACTGTTAGCAGC", "GCGACT" + "TTTTTGGGGGAAAAA" + "GTTAGCAGC"),
+        # insertion at the very start (walk drains to row 0 with j > 0)
+        ("GCGACTGTT", "AAAAAAAGCGACTGTT"),
+        # deletion-heavy: descendant much shorter
+        ("GCGACTGTTAGCAGCAAATTT", "GCGTTT"),
+        # alternating small indels (runs at multiple rows)
+        ("GCGACTGTTAGC", "GCGAGTCTTAAGC"),
+        # insertion at the very end
+        ("GCGACTGTT", "GCGACTGTTCCCCC"),
+    ]
+    got = triplet_align_batch(tri_mg, pairs, traceback="device")
+    for (anc, des), (s0, s1, sc) in zip(pairs, got):
+        h0, h1, hsc = triplet_align(tri_mg, anc, des)
+        assert (s0, s1) == (h0, h1), (anc, des)
+        assert sc == pytest.approx(hsc, abs=1e-5), (anc, des)
+
+
 @pytest.mark.parametrize("traceback", ["device", "host"])
 def test_triplet_device_batch_matches_host(tri_mg, traceback):
     """Batched device forward + (device walk | host recompute walk) ==
