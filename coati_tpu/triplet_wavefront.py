@@ -323,8 +323,7 @@ def _triplet_walk_seg(grid_seg, amax_seg, anc_seg, des_codes, ins_off,
         code = jnp.where(b > a, 1, 0)
         return jnp.where(c > jnp.maximum(a, b), 2, code)
 
-    def block(carry, t):
-        i, j, st, ops = carry
+    def one_block(i, j, st, ops, t):
         base_i = 3 * (t_lo + t)
         gr = jax.lax.dynamic_index_in_dim(
             grid_seg, t, axis=0, keepdims=False
@@ -379,17 +378,16 @@ def _triplet_walk_seg(grid_seg, amax_seg, anc_seg, des_codes, ins_off,
         rows_D = (D1, D2, D3)
         rows_I = (I1, I2, I3)
 
-        def run_exit_cols(Mrow):
+        def run_exit_cols(Mrow, Irow):
             """Ucol[b, j-1] = the column where an insertion run entered
-            state I at column j exits into M (see docstring)."""
-            W = Mrow - ins_off
-            run = jax.lax.cummax(W, axis=1)
-            prev = jnp.concatenate(
-                [jnp.full((B, 1), neg_inf), run[:, :-1]], axis=1
-            )
-            newmax = W > prev
+            state I at column j exits into M: the LAST u <= j-1 where the
+            walk's LITERAL f32 comparison M[u] + go > I[u] + ge holds
+            (bit-identical to the one-edge-at-a-time rule; the
+            real-algebra equivalent via W = M - off running maxes would
+            round differently near ties)."""
+            exit_ok = (Mrow + go) > (Irow + ge)
             return jax.lax.cummax(
-                jnp.where(newmax, jnp.broadcast_to(u_Cc, (B, Cc)), -1),
+                jnp.where(exit_ok, jnp.broadcast_to(u_Cc, (B, Cc)), -1),
                 axis=1,
             )
 
@@ -401,7 +399,7 @@ def _triplet_walk_seg(grid_seg, amax_seg, anc_seg, des_codes, ins_off,
                 # state I jump to the run's entry column in ONE phase)
                 r = 2 - ph // 2
                 run_here = act & (st == 2)
-                Ucol = run_exit_cols(rows_M[r])
+                Ucol = run_exit_cols(rows_M[r], rows_I[r])
                 u = sel_j(Ucol, u_Cc == (j - 1)[:, None], 0)
                 cnt = jnp.where(run_here, j - u, 0)
                 ops_rows.append(jnp.int32(2) | (cnt << 2))
@@ -431,13 +429,33 @@ def _triplet_walk_seg(grid_seg, amax_seg, anc_seg, des_codes, ins_off,
                 j = jnp.where(act, pj, j)
                 st = jnp.where(act, nxt, st)
 
-        ops = jax.lax.dynamic_update_slice(
-            ops, jnp.stack(ops_rows), (6 * (t_lo + t), 0)
-        )
+        # padding blocks of a K-group (t >= S) must not clobber rows
+        # already written by the segment above: read-modify-write the
+        # 6-row window with a select
+        rows6 = jnp.stack(ops_rows)
+        off = 6 * (t_lo + jnp.minimum(t, S - 1))
+        old = jax.lax.dynamic_slice(ops, (off, 0), (6, ops.shape[1]))
+        rows6 = jnp.where(t < S, rows6, old)
+        ops = jax.lax.dynamic_update_slice(ops, rows6, (off, 0))
+        return i, j, st, ops
+
+    # K blocks per scan step: the scan's per-step overhead (~0.9 ms on
+    # v5e through this XLA path) dwarfed the ~10 us of per-block vector
+    # compute; grouping amortizes it 8x. Groups and blocks both run in
+    # DESCENDING order; padding blocks (t >= S) are no-ops for every
+    # pair (i <= 3S <= base_i there) and their ops rows are masked off.
+    K = min(8, S)
+    n_groups = -(-S // K)
+
+    def group(carry, tg):
+        i, j, st, ops = carry
+        for q in range(K):
+            t = tg * K + (K - 1 - q)
+            i, j, st, ops = one_block(i, j, st, ops, t)
         return (i, j, st, ops), None
 
     return jax.lax.scan(
-        block, state, jnp.arange(S - 1, -1, -1, dtype=jnp.int32)
+        group, state, jnp.arange(n_groups - 1, -1, -1, dtype=jnp.int32)
     )[0]
 
 
