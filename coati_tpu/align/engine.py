@@ -167,8 +167,13 @@ _DU_VMEM_SLOTS = 32 * 4 * 2816  # proven envelope: bc=32, C=2816, du=4
 
 
 def _du_for(C: int, bc: int, k: int = 1) -> int:
-    """Diagonals per grid step for slot width C and chunk width bc."""
-    return max(1, min(PALLAS_DU, _DU_VMEM_SLOTS // (bc * C)))
+    """Diagonals per grid step for slot width C and chunk width bc.
+
+    The slot budget was proven at k=1 (ring of 3 diagonal planes); k=3
+    carries a 4-plane ring (max(k,2)+1), so shave the budget by the same
+    ~25% rather than rely on the compile-probe fallback ladder alone."""
+    budget = _DU_VMEM_SLOTS if k <= 2 else _DU_VMEM_SLOTS * 3 // 4
+    return max(1, min(PALLAS_DU, budget // (bc * C)))
 # scratch budget: (3*ring + 15 + 3) * bc * C * 4 bytes must fit VMEM
 PALLAS_MAX_C = 2816
 # descendants longer than this many slots route to the segmented two-pass
@@ -230,6 +235,9 @@ def fused_align_ops_impl(aseq, bseq, la, lb, table32, gc, *, k, use_pallas,
         NAp, NBp = aseq.shape[1], bseq.shape[1]
         Cp = ((NBp + k + 127) // 128) * 128
         P = stacked_period(NAp, NBp, Cp, k, du)
+        # trace-time guard: the kernel's own slot rounding must agree with
+        # the P recomputed here, or rebase_stacked_bp slices wrong windows
+        assert bp.shape[0] == (stack_R + 1) * P, (bp.shape, stack_R, P)
         bp2 = rebase_stacked_bp(bp, P, NAp, NBp, k, stack_R)
         ops, (_, score) = traceback_ops_impl(bp2, corners, la, lb, k=k)
         return ops, score

@@ -106,7 +106,7 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
             refs = refs[3:]
             if mode == "forward":
                 (Mout_ref, Dout_ref, Iout_ref, corner_ref,
-                 Pr_ref, gwin_ref, cap_ref, *maybe_PrS) = refs
+                 Pr_ref, gwin_ref, cap_ref) = refs
             elif want_bp:
                 bp_ref, corner_ref, Pr_ref, gwin_ref, cap_ref = refs
             else:
@@ -449,10 +449,11 @@ def wavefront_pallas(
 # from ~40% to R*(NA+k)/((R+1)*P) ~ 80-90%.
 #
 # What changes vs the plain kernel:
-#   - descendant one-hots: slot j's pair changes over the sweep, so THREE
+#   - descendant one-hots: slot j's pair changes over the sweep, so TWO
 #     banks of [nc, bc, C] rotate through VMEM via block index maps
-#     (P > (C + du - 2)/2 bounds the pairs alive in one grid step to 3),
-#     and the emission selects per cell by r = (d - j) // P;
+#     (stacked_period's 2P >= Dloc + du bound proves every in-body cell's
+#     pair is r_hi or r_hi - 1 within a grid step), and the emission
+#     selects per cell with a single compare j <= d - r_hi*P;
 #   - corner capture: same-row pairs may share a corner slot, so captures
 #     go to parity-alternating cap banks, exported once per era (P
 #     diagonals) to an [R, 3, bc, C] output — pair r's corner lands in era
@@ -470,10 +471,8 @@ def _make_kernel_stacked(k: int, NA: int, C: int, BC: int, ring: int,
         grow_ref,   # [du, BC, nc] G-stream rows (concat of R ancestors)
         ohHI_ref,   # [1, nc, BC, C] descendant one-hot, bank r_hi
         ohMID_ref,  # [1, nc, BC, C] bank r_hi - 1
-        ohLO_ref,   # [1, nc, BC, C] bank r_hi - 2
         cdHI_ref,   # [1, BC, C] int32 corner-diag-at-corner-slot, bank r_hi
         cdMID_ref,  # [1, BC, C]
-        cdLO_ref,   # [1, BC, C]
         body_ref,   # [du, 1, C]
         marg_ref,   # [du, 3, C] stacked (M | D | I) margin values
         gc_ref,     # [1, 4] SMEM
@@ -524,7 +523,7 @@ def _make_kernel_stacked(k: int, NA: int, C: int, BC: int, ring: int,
         capE = capE_ref[...]
         capO = capO_ref[...]
         r_hi = (g * du + du - 1) // P  # unclamped bank index of this step
-        hi_even = (r_hi & 1) == 0  # scalar parity of the HI/LO banks
+        hi_odd = (r_hi & 1) == 1  # scalar parity of the HI bank
 
         def shift3(x, s, mask):
             rolled = pltpu.roll(x, s, axis=2)
@@ -538,19 +537,19 @@ def _make_kernel_stacked(k: int, NA: int, C: int, BC: int, ring: int,
             fresh_t = jnp.transpose(fresh, (1, 0))[:, :, None]
             win = jnp.where(j3 == 0, fresh_t, win)
 
-            # --- per-cell pair index & bank masks (shared by emission
-            # and capture). (d - j) // P == r  <=>  d - (r+1)P < j <= d - rP
-            # — two compares against SCALAR bounds instead of a per-cell
-            # integer division (VPU int-div is a long multi-op sequence);
-            # at most 3 banks alive
+            # --- per-cell pair/bank mask (shared by emission and capture).
+            # ONE compare: m_hi <=> j <= b_hi <=> (d - j) // P == r_hi
+            # (j > b_hi - P is vacuous: b_hi = d - r_hi*P < P, j >= 0; an
+            # owner > r_hi would need j <= b_hi - P < 0). Cells below MID
+            # (owner <= r_hi - 2) read MID's one-hot, which is safe:
+            # stacked_period's 2P >= Dloc + du bound proves no in-body cell
+            # of any pair lives there (a real cell has d - j <= oP + NA+k-1
+            # and d >= r_hi*P - du + 1, so owner o >= r_hi - 1), and the
+            # margin select overwrites whatever the dead cells computed.
             b_hi = d - r_hi * P
-            m_hi = (j_i > b_hi - P) & (j_i <= b_hi)
-            m_mid = (j_i > b_hi) & (j_i <= b_hi + P)
+            m_hi = j_i <= b_hi
 
-            oh = jnp.where(
-                m_hi[None], ohHI_ref[0],
-                jnp.where(m_mid[None], ohMID_ref[0], ohLO_ref[0]),
-            )
+            oh = jnp.where(m_hi[None], ohHI_ref[0], ohMID_ref[0])
             sub = oh[0] * win[0]
             for c in range(1, nc):
                 sub = sub + oh[c] * win[c]
@@ -585,17 +584,17 @@ def _make_kernel_stacked(k: int, NA: int, C: int, BC: int, ring: int,
             bp_i = jnp.where(Wi[0] > s2[2] + ge, 0, 2)
             bp_ref[t] = (bp_m | (bp_d << 2) | (bp_i << 4)).astype(jnp.uint8)
 
-            # --- corner capture into the parity bank of the cell's pair
-            # (banks r_hi and r_hi-2 share parity, so the cell parity is
-            # m_mid XOR the scalar hi-parity)
-            cd_eff = jnp.where(
-                m_hi, cdHI_ref[0],
-                jnp.where(m_mid, cdMID_ref[0], cdLO_ref[0]),
-            )
+            # --- corner capture into the parity bank of the cell's pair.
+            # Corners are real cells, so only the HI/MID banks can capture
+            # (see the m_hi note above); a sub-MID cell can never match
+            # cdMID (it would need la + k - 1 < 0). Cell parity: owner is
+            # r_hi for HI cells, r_hi - 1 otherwise -> m_hi XOR hi_odd.
+            cd_eff = jnp.where(m_hi, cdHI_ref[0], cdMID_ref[0])
             sel = cd_eff == d
-            par_even = m_mid ^ hi_even
-            capE = jnp.where((sel & par_even)[None], P3, capE)
-            capO = jnp.where((sel & (~par_even))[None], P3, capO)
+            selE = sel & (m_hi ^ hi_odd)
+            selO = sel ^ selE
+            capE = jnp.where(selE[None], P3, capE)
+            capO = jnp.where(selO[None], P3, capO)
 
         gwin_ref[...] = win
         capE_ref[...] = capE
@@ -643,13 +642,16 @@ def stacked_period(NA: int, NB: int, C: int, k: int, du: int) -> int:
     """Diagonal period P: >= NA + k (one pair's rows fit), large enough
     that one grid step spans at most 3 pair banks (du + C - 2 < 2P), a
     multiple of du (era boundaries align with grid steps), AND large
-    enough that every pair's corner diagonal lands within era r + 1
-    (2P >= NA + NB + 2k - 1) — the corner-capture banks are flushed at
-    era boundaries, so a later corner would be exported-then-missed.
-    For square buckets (NB ~ NA) this last bound coincides with NA + k;
-    it binds only on rectangular buckets with NB >> NA (regression:
-    tests/test_pallas.py::test_stacked_rectangular_bucket)."""
-    need = max(NA + k, (C + du) // 2 + 1, (NA + NB + 2 * k) // 2)
+    enough that 2P >= Dloc + du (Dloc = NA + NB + 2k - 1). The last bound
+    does double duty: every pair's corner diagonal lands within era r + 1
+    (the corner-capture banks are flushed at era boundaries, so a later
+    corner would be exported-then-missed), and no in-body cell of any pair
+    can sit below the MID bank within a grid step — which is what lets the
+    kernel carry only TWO one-hot/corner banks and resolve them with a
+    single compare. For square buckets (NB ~ NA) this bound nearly
+    coincides with NA + k; it binds on rectangular buckets with NB >> NA
+    (regression: tests/test_pallas.py::test_stacked_rectangular_bucket)."""
+    need = max(NA + k, (C + du) // 2 + 1, (NA + NB + 2 * k + du) // 2)
     return -(-need // du) * du
 
 
@@ -686,8 +688,12 @@ def wavefront_pallas_stacked(
     to row `row` with diagonal offset r*P.
 
     Returns ((cM, cD, cI) [B] terminal-adjusted corners, bp
-    [Dswp, rows, C] uint8, d_base [B], row_idx [B], P) — feed bp/d_base/
-    row_idx to traceback_ops_impl."""
+    [Dswp, rows, C] uint8, d_base [B], row_idx [B], P). Preferred
+    traceback route (what the engine uses): collapse the bank offsets with
+    rebase_stacked_bp(bp, ...) and walk the result with traceback_ops_impl
+    — one Dloc-diagonal scan, no per-step bank selects. Feeding bp with
+    d_base/row_idx directly to traceback_ops_impl is the legacy/alternate
+    path: correct, but it sweeps all (R+1)*P diagonals."""
     B, NA = aseq.shape
     NB = bseq.shape[1]
     C = ((NB + k + 127) // 128) * 128
@@ -756,10 +762,8 @@ def wavefront_pallas_stacked(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, nc, bc, C), bank_map(0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, nc, bc, C), bank_map(1), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, nc, bc, C), bank_map(2), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, bc, C), capd_map(0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, bc, C), capd_map(1), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bc, C), capd_map(2), memory_space=pltpu.VMEM),
         pl.BlockSpec((du, 1, C), lambda bi, g: (g, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((du, 3, C), lambda bi, g: (g, 0, 0),
@@ -799,8 +803,7 @@ def wavefront_pallas_stacked(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(G, oh_banks, oh_banks, oh_banks, capd_banks, capd_banks, capd_banks,
-      body, marg, gc)
+    )(G, oh_banks, oh_banks, capd_banks, capd_banks, body, marg, gc)
 
     row_idx = jnp.tile(jnp.arange(rows, dtype=jnp.int32), R)
     cap_vals = caps[r_vec, :, row_idx, corner_j]  # [B, 3]

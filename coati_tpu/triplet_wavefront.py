@@ -317,7 +317,6 @@ def _triplet_walk_seg(grid_seg, amax_seg, anc_seg, des_codes, ins_off,
 
     # [S, B, 64] entry costs: ONE bulk gather outside the scan
     cost_rows = jnp.transpose(logP64[anc_seg], (1, 0, 2))
-    neg_inf = jnp.float32(-np.inf)
 
     def amax_pref(a, b, c):
         code = jnp.where(b > a, 1, 0)

@@ -22,6 +22,29 @@ sys.path.insert(0, str(REPO))
 import numpy as np
 
 os.environ.setdefault("COATI_TPU_FORCE_PLATFORM", "tpu")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
+def devloop_time(step, M: int):
+    """True device seconds per `step(acc)` call: M chained iterations in
+    ONE dispatch (fori_loop), a ~1e-30 data dependency threading the
+    previous iteration's scalar into the next call's inputs so nothing is
+    hoisted. Tunnel-independent (the round-trip amortizes over M)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def looped():
+        def body(_, acc):
+            return step(acc)
+
+        return jax.lax.fori_loop(0, M, body, jnp.float32(0.0))
+
+    looped().block_until_ready()  # compile + warm
+    t0 = time.time()
+    looped().block_until_ready()
+    return (time.time() - t0) / M
 
 
 def bench(fn, small, reps=5):
@@ -83,28 +106,49 @@ def main() -> int:
 
         def report(label, dt):
             print(f"NA={NA} B={B} {label}: {true_cells/dt/1e9:.2f} Gtrue/s "
-                  f"{slot_cells/dt/1e9:.2f} Gslot/s ({dt*1e3:.0f} ms)",
+                  f"{slot_cells/dt/1e9:.2f} Gslot/s ({dt*1e3:.1f} ms)",
                   flush=True)
 
-        dt = bench(lambda: _align_step_jit(
-            *args, k=1, use_pallas=True, code_cols=cc, bc=bc, du=du,
-            stack_R=1), lambda o: o[1], reps)
-        report("full(plain)", dt)
-        dt = bench(lambda: wavefront_pallas(
-            *args, k=1, bc=bc, want_bp=True, code_cols=cc, du=du),
-            lambda o: o[0][0], reps)
-        report("dp+bp", dt)
-        dt = bench(lambda: wavefront_pallas(
-            *args, k=1, bc=bc, want_bp=False, code_cols=cc, du=du),
-            lambda o: o[0][0], reps)
-        report("dp-only", dt)
-        try:
-            dt = bench(lambda: _align_step_jit(
-                *args, k=1, use_pallas=True, code_cols=cc, bc=bc, du=du,
-                stack_R=R), lambda o: o[1], reps)
-            report(f"full(stacked R={R})", dt)
-        except Exception as exc:
-            print(f"stacked FAIL {type(exc).__name__}: {str(exc)[:100]}")
+        # device-only stage decomposition (one dispatch, M chained sweeps;
+        # the ~30 ms tunnel round-trip cancels out)
+        import jax.numpy as jnp
+
+        from coati_tpu.align.engine import fused_align_ops_impl
+
+        M = int(os.environ.get("PROBE_DEVLOOP", "10"))
+        a_, b_, la_, lb_ = args[:4]
+
+        def gcp(acc):
+            return gc + acc * jnp.float32(1e-30)
+
+        stages = [
+            ("dev full(plain)", lambda acc: jnp.min(fused_align_ops_impl(
+                a_, b_, la_, lb_, table, gcp(acc), k=1, use_pallas=True,
+                code_cols=cc, bc=bc, du=du, stack_R=1)[1])),
+            ("dev dp+bp", lambda acc: jnp.min(wavefront_pallas(
+                a_, b_, la_, lb_, table, gcp(acc), k=1, bc=bc, want_bp=True,
+                code_cols=cc, du=du)[0][0])),
+            ("dev dp-only", lambda acc: jnp.min(wavefront_pallas(
+                a_, b_, la_, lb_, table, gcp(acc), k=1, bc=bc, want_bp=False,
+                code_cols=cc, du=du)[0][0])),
+            (f"dev stacked-dp R={R}", lambda acc: jnp.min(
+                wavefront_pallas_stacked(
+                    a_, b_, la_, lb_, table, gcp(acc), k=1, R=R, bc=bc,
+                    code_cols=cc, du=du)[0][0])),
+            (f"dev full(stacked R={R})", lambda acc: jnp.min(
+                fused_align_ops_impl(
+                    a_, b_, la_, lb_, table, gcp(acc), k=1, use_pallas=True,
+                    code_cols=cc, bc=bc, du=du, stack_R=R)[1])),
+        ]
+        only = os.environ.get("PROBE_STAGES")  # comma substrings
+        for label, step in stages:
+            if only and not any(s in label for s in only.split(",")):
+                continue
+            try:
+                report(label, devloop_time(step, M))
+            except Exception as exc:
+                print(f"{label} FAIL {type(exc).__name__}: "
+                      f"{str(exc)[:100]}", flush=True)
     return 0
 
 

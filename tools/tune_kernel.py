@@ -21,6 +21,46 @@ import numpy as np
 os.environ.setdefault("COATI_TPU_FORCE_PLATFORM", "tpu")
 
 
+def _device_time(args, table, gc, kw, M: int):
+    """True device seconds per fused-align call, tunnel-independent.
+
+    Runs the step M times inside ONE lax.fori_loop dispatch, feeding a
+    tiny function of the previous score back into the gap constants so the
+    compiler cannot hoist or CSE iterations (numerics are perturbed by
+    ~1e-30 — fine for timing, never used for results). One dispatch means
+    the tunnel round-trip amortizes to ~0 over M device sweeps."""
+    if not M:
+        return None
+    import functools
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from coati_tpu.align.engine import fused_align_ops_impl
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("k", "use_pallas", "code_cols", "bc", "du",
+                         "stack_R", "M"),
+    )
+    def looped(aseq, bseq, la, lb, table, gc, *, M, **kw):
+        def body(_, acc):
+            _, score = fused_align_ops_impl(
+                aseq, bseq, la, lb, table, gc + acc * jnp.float32(1e-30),
+                **kw,
+            )
+            return jnp.min(score)
+
+        return jax.lax.fori_loop(0, M, body, jnp.float32(0.0))
+
+    out = looped(*args, table, gc, M=M, **kw)
+    out.block_until_ready()  # compile + warm
+    t0 = time.time()
+    looped(*args, table, gc, M=M, **kw).block_until_ready()
+    return (time.time() - t0) / M
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -53,6 +93,8 @@ def main() -> int:
     bcs = [int(x) for x in os.environ.get("TUNE_BC", "32").split(",")]
     rs = [int(x) for x in os.environ.get("TUNE_R", "1").split(",")]
     reps = int(os.environ.get("TUNE_REPS", "5"))
+    # TUNE_DEVLOOP=M adds a device-only rate: M sweeps in one dispatch
+    devloop = int(os.environ.get("TUNE_DEVLOOP", "0"))
 
     for NA, NB, B in shapes:
         aseq = rng.integers(0, 183, (B, NA)).astype(np.int32)
@@ -82,9 +124,12 @@ def main() -> int:
                         for _, s in outs:
                             np.asarray(s)
                         dt = (time.time() - t0) / reps
+                        ddt = _device_time(args, table, gc, kw, devloop)
+                        dev_s = (f" | device {true_cells/ddt/1e9:.2f} G "
+                                 f"({ddt*1e3:.1f} ms)") if ddt else ""
                         print(f"NA={NA} B={B} bc={bc} du={du} R={R}: "
                               f"{true_cells/dt/1e9:.2f} Gcells/s "
-                              f"({dt*1e3:.0f} ms/call)", flush=True)
+                              f"({dt*1e3:.0f} ms/call){dev_s}", flush=True)
                     except Exception as exc:
                         print(f"NA={NA} B={B} bc={bc} du={du} R={R}: FAIL "
                               f"{type(exc).__name__}: {str(exc)[:120]}",
