@@ -173,14 +173,18 @@ def _du_for(C: int, bc: int, k: int = 1) -> int:
     carries a 4-plane ring (max(k,2)+1), so shave the budget by the same
     ~25% rather than rely on the compile-probe fallback ladder alone."""
     budget = _DU_VMEM_SLOTS if k <= 2 else _DU_VMEM_SLOTS * 3 // 4
-    return max(1, min(PALLAS_DU, budget // (bc * C)))
+    du = max(1, min(PALLAS_DU, budget // (bc * C)))
+    # round down to a power of two: irregular du block shapes have crashed
+    # the TPU compile helper at large C (du=5 x C=15744, r5), and only
+    # power-of-two du values were ever measured/proven
+    return 1 << (du.bit_length() - 1)
 # scratch budget: (3*ring + 15 + 3) * bc * C * 4 bytes must fit VMEM
 PALLAS_MAX_C = 2816
 # descendants longer than this many slots route to the segmented two-pass
-# long-pair path (align/longseq.py): beyond it the Pallas traceback kernel
-# runs out of VMEM and the XLA fallback's full [Dtot, B, C] bp stack grows
-# quadratically (~4 GB at 32 knt)
-LONG_PAIR_SLOTS = int(_os.environ.get("COATI_TPU_LONG_SLOTS", "11264"))
+# long-pair path (align/longseq.py): beyond it the full [Dtot, B, C] bp
+# stack grows past a few GB of HBM per chunk (~2*C^2*bc bytes; ~2.2 GB at
+# 16.5k slots with bc=4) and the one-pass kernel stops being a win
+LONG_PAIR_SLOTS = int(_os.environ.get("COATI_TPU_LONG_SLOTS", "16512"))
 
 
 def _pallas_bc_for(C: int, want_bp: bool) -> int | None:
@@ -195,6 +199,10 @@ def _pallas_bc_for(C: int, want_bp: bool) -> int | None:
         return PALLAS_BC
     if C <= (11264 if want_bp else 22528):
         return 8
+    if want_bp and C <= 16512:
+        # 11k-16.5k slots: one-pass kernel at bc=4 still beats the
+        # segmented two-pass path ~2x; bp stream ~2*C^2*bc B <= 2.2 GB
+        return 4
     return None
 
 
@@ -531,6 +539,10 @@ def _fetch_packed(packed_d, nsteps, score_d, n_real):
 
 _compile_probe_warned = set()
 
+# when set to a list (bench telemetry), every launched chunk appends its
+# static kernel config — see the CHUNK_TRACE block in _align_step
+CHUNK_TRACE: list | None = None
+
 
 def _is_compile_failure(exc) -> bool:
     """True only for compile-stage failures (Mosaic lowering errors, VMEM
@@ -599,6 +611,18 @@ def _align_step(aseq, bseq, la, lb, table32, gc, k, dev, fetch=True,
             b = b.astype(np.uint8, copy=False)
         step_jit = _align_step_rle_jit if rle else _align_step_packed_jit
         extra = {"nr": RLE_RUNS} if rle else {}
+        if CHUNK_TRACE is not None:
+            # telemetry (bench device-time estimator): the static config of
+            # this launched chunk — enough to replay one device-identical
+            # step on synthetic data
+            CHUNK_TRACE.append({
+                "B": int(a.shape[0]), "NA": int(a.shape[1]),
+                "NB": int(b.shape[1]), "k": int(k),
+                "use_pallas": bool(use_pallas), "cc": tuple(cc),
+                "bc": int(bc if use_pallas else PALLAS_BC),
+                "du": int(du if use_pallas else 1),
+                "stack_R": int(stack_R), "rle": bool(rle),
+            })
         return step_jit(
             jnp.asarray(a), jnp.asarray(b), jnp.asarray(lva),
             jnp.asarray(lvb), jnp.asarray(table32), jnp.asarray(gc),
@@ -802,17 +826,42 @@ def viterbi_align_batch(
                     pass
             inflight.append((chunk, n_real, rle_c, launched))
 
-    # long pairs: segmented two-pass traceback, one at a time (O(n) memory)
+    # long pairs: segmented two-pass traceback (O(n) memory), batched —
+    # the sweep's batch axis sublane-pads to 8 rows, so grouping up to 8
+    # similar-length long pairs per sweep is device-time-free vs one
     if long_pairs:
-        from coati_tpu.align.longseq import viterbi_align_long
+        from coati_tpu.align.longseq import (
+            long_batch_width,
+            viterbi_align_long_batch,
+        )
+
+        order = sorted(
+            long_pairs, key=lambda i: -(len(enc_as[i]) + len(enc_bs[i]))
+        )
+        groups: list[list[int]] = []
+        for idx in order:
+            size = len(enc_as[idx]) + len(enc_bs[idx])
+            if groups:
+                head = groups[-1][0]
+                head_size = len(enc_as[head]) + len(enc_bs[head])
+                width = long_batch_width(len(enc_bs[head]), k)
+                # only group pairs close enough in size that padding to
+                # the group max wastes < ~half the sweep
+                if len(groups[-1]) < width and size >= 0.7 * head_size:
+                    groups[-1].append(idx)
+                    continue
+            groups.append([idx])
 
         dev = _devices_for(1 << 62)[0]  # long pairs always warrant the TPU
         with jax.default_device(dev):
-            for idx in long_pairs:
-                results[idx] = viterbi_align_long(
-                    enc_as[idx], enc_bs[idx], a_strs[idx], b_strs[idx],
+            for grp in groups:
+                out = viterbi_align_long_batch(
+                    [enc_as[i] for i in grp], [enc_bs[i] for i in grp],
+                    [a_strs[i] for i in grp], [b_strs[i] for i in grp],
                     table32, gap,
                 )
+                for i, r in zip(grp, out):
+                    results[i] = r
 
     # phase 2: fetch + build strings in launch order
     for chunk, n_real, rle_c, launched in inflight:

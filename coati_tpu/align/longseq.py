@@ -103,13 +103,35 @@ def _round_up(x: int, q: int) -> int:
 PALLAS_SEG_MAX_C = 131072
 
 
+def _pad_group(enc_as, enc_bs, quantum: int):
+    """Pad a group of encoded pairs to one shared [B, NA]/[B, NB] shape
+    (group max, rounded up to the quantum so repeated calls share
+    compiled executables)."""
+    B = len(enc_as)
+    NA = _round_up(max(max(len(a) for a in enc_as), quantum), quantum)
+    NB = _round_up(max(max(len(b) for b in enc_bs), quantum), quantum)
+    aseq = np.zeros((B, NA), np.int32)
+    bseq = np.zeros((B, NB), np.int32)
+    for p, (a, b) in enumerate(zip(enc_as, enc_bs)):
+        aseq[p, : len(a)] = a
+        bseq[p, : len(b)] = b
+    la = jnp.asarray([len(a) for a in enc_as], jnp.int32)
+    lb = jnp.asarray([len(b) for b in enc_bs], jnp.int32)
+    return aseq, bseq, la, lb, NA, NB
+
+
 def _viterbi_align_long_pallas(
-    enc_a, enc_b, a_str, b_str, table, gap, *, seg_diagonals: int,
+    enc_as, enc_bs, a_strs, b_strs, table, gap, *, seg_diagonals: int,
     quantum: int, interpret: bool = False,
 ):
     """Pallas-segment backend: identical two-pass structure, but each
     segment runs the VMEM-resident kernel with carried (ring, emission
-    window, corner capture) state instead of the XLA scan."""
+    window, corner capture) state instead of the XLA scan.
+
+    Takes a GROUP of pairs padded to one shape: the kernel's batch axis is
+    sublane-padded to 8 rows, so aligning up to 8 long pairs per sweep
+    costs the same device time as one (the r4 ladder's 11k-30k nt cliff
+    was this path running pairs one at a time)."""
     from coati_tpu.align.engine import ops_to_strings
     from coati_tpu.kernels.wavefront_pallas import (
         segment_consts,
@@ -120,17 +142,9 @@ def _viterbi_align_long_pallas(
     k = int(gap.len)
     gc = jnp.asarray(gap_consts_array(gap))
     table32 = jnp.asarray(np.asarray(table, dtype=np.float32))
-    na, nb = len(enc_a), len(enc_b)
-    NA = _round_up(max(na, quantum), quantum)
-    NB = _round_up(max(nb, quantum), quantum)
-    aseq = np.zeros((1, NA), np.int32)
-    bseq = np.zeros((1, NB), np.int32)
-    aseq[0, :na] = enc_a
-    bseq[0, :nb] = enc_b
-    la = jnp.asarray([na], jnp.int32)
-    lb = jnp.asarray([nb], jnp.int32)
+    aseq, bseq, la, lb, NA, NB = _pad_group(enc_as, enc_bs, quantum)
+    B = aseq.shape[0]
     T = int(seg_diagonals)
-    B = 1
 
     used = set(np.unique(bseq).tolist())
     if used <= {0, 1, 2, 3}:
@@ -164,7 +178,8 @@ def _viterbi_align_long_pallas(
 
     # ---- pass 2: recompute each segment's bp from its checkpoint, walk it
     for seg in range(n_seg - 1, -1, -1):
-        pos_d = int(np.asarray(jax.device_get(i + j))[0])
+        # the walk front is the max diagonal over pairs still walking
+        pos_d = int(np.asarray(jax.device_get(jnp.max(i + j))))
         if pos_d < seg * T:
             continue
         bp_seg, _ = wavefront_pallas_segment(
@@ -182,55 +197,23 @@ def _viterbi_align_long_pallas(
 
     ops_h = np.asarray(jax.device_get(ops))[::-1]
     score_h = np.asarray(jax.device_get(score))
-    return ops_to_strings(ops_h, score_h, [a_str], [b_str], k)[0]
+    return ops_to_strings(ops_h, score_h, a_strs, b_strs, k)
 
 
-def viterbi_align_long(
-    enc_a, enc_b, a_str, b_str, table, gap, *, seg_diagonals: int = 4096,
-    quantum: int = 512, engine: str = "auto",
+def _viterbi_align_long_xla(
+    enc_as, enc_bs, a_strs, b_strs, table, gap, *, seg_diagonals: int,
+    quantum: int,
 ):
-    """Viterbi-align one long pair with bounded memory. Returns an
-    engine.AlignResult; strings/score identical to the full-bp path.
-
-    engine: 'pallas' forces the VMEM-resident segment kernel, 'xla' the
-    scan fallback; 'auto' picks Pallas on an accelerator when the slot
-    count fits its VMEM envelope."""
-    from coati_tpu.align.engine import AlignResult, ops_to_strings
+    """XLA-scan backend for the same batched two-pass structure."""
+    from coati_tpu.align.engine import ops_to_strings
 
     k = int(gap.len)
-    if engine == "auto":
-        NB_pad = _round_up(max(len(enc_b), quantum), quantum)
-        C128 = ((NB_pad + k + 127) // 128) * 128
-        dev = getattr(jax.config, "jax_default_device", None)
-        platform = getattr(dev, "platform", None) or jax.devices()[0].platform
-        engine = (
-            "pallas"
-            if platform != "cpu" and C128 <= PALLAS_SEG_MAX_C
-            else "xla"
-        )
-    if engine == "pallas":
-        du = 4
-        seg = _round_up(int(seg_diagonals), du)
-        return _viterbi_align_long_pallas(
-            enc_a, enc_b, a_str, b_str, table, gap,
-            seg_diagonals=seg, quantum=quantum,
-        )
     gc = jnp.asarray(gap_consts_array(gap))
     table32 = jnp.asarray(np.asarray(table, dtype=np.float32))
-    na, nb = len(enc_a), len(enc_b)
-    # pad to a quantum so repeated long-pair calls share compiled shapes
-    NA = _round_up(max(na, quantum), quantum)
-    NB = _round_up(max(nb, quantum), quantum)
-    aseq = np.zeros((1, NA), np.int32)
-    bseq = np.zeros((1, NB), np.int32)
-    aseq[0, :na] = enc_a
-    bseq[0, :nb] = enc_b
+    aseq, bseq, la, lb, NA, NB = _pad_group(enc_as, enc_bs, quantum)
     aseq = jnp.asarray(aseq)
     bseq = jnp.asarray(bseq)
-    la = jnp.asarray([na], jnp.int32)
-    lb = jnp.asarray([nb], jnp.int32)
-
-    B, C = 1, NB + k
+    B, C = aseq.shape[0], NB + k
     K = max(k, 2)
     Dtot = (NA + k) + C - 1
     T = int(seg_diagonals)
@@ -256,18 +239,17 @@ def viterbi_align_long(
         )
     cM, cD, cI = adj  # terminal-adjusted corners from the last segment
 
-    st0 = _argmax_mdi(cM, cD, cI).astype(jnp.int32)
+    st = _argmax_mdi(cM, cD, cI).astype(jnp.int32)
     score = jnp.maximum(cM, jnp.maximum(cD, cI))
     i = la + jnp.int32(k - 1)
     j = lb + jnp.int32(k - 1)
     s_steps = jnp.int32(0)
     ops = jnp.full((Dtot, B), -1, dtype=jnp.int8)
-    st = st0
 
     # ---- pass 2: recompute each segment's bp from its checkpoint, walk it
     for seg in range(n_seg - 1, -1, -1):
         # skip segments entirely above the walk position
-        pos_d = int(np.asarray(jax.device_get(i + j))[0])
+        pos_d = int(np.asarray(jax.device_get(jnp.max(i + j))))
         if pos_d < seg * T:
             continue
         ring_s, corners_s = ckpts[seg]
@@ -286,5 +268,72 @@ def viterbi_align_long(
 
     ops_h = np.asarray(jax.device_get(ops))[::-1]  # forward order, -1 padded
     score_h = np.asarray(jax.device_get(score))
-    res = ops_to_strings(ops_h, score_h, [a_str], [b_str], k)[0]
-    return res
+    return ops_to_strings(ops_h, score_h, a_strs, b_strs, k)
+
+
+# sublane width of the f32 VMEM tile: batching up to this many long pairs
+# per segmented sweep is device-time-free (B=1 was padded to 8 anyway)
+LONG_BATCH_MAX = 8
+# cap on pass-1 checkpoint bytes; bounds the batch width for very long
+# pairs (checkpoints are per-batch: n_seg * ~16 planes * B * C * 4 B)
+LONG_CKPT_BYTES = 4 << 30
+
+
+def long_batch_width(nb: int, k: int = 1, seg_diagonals: int = 4096,
+                     quantum: int = 512) -> int:
+    """How many long pairs of descendant length <= nb to batch per sweep."""
+    NB = _round_up(max(nb, quantum), quantum)
+    C = NB + k
+    Dtot = C + NB + 2 * k  # ~worst case NA ~ NB
+    n_seg = -(-Dtot // seg_diagonals)
+    per_b = n_seg * 16 * C * 4
+    return max(1, min(LONG_BATCH_MAX, LONG_CKPT_BYTES // max(per_b, 1)))
+
+
+def viterbi_align_long_batch(
+    enc_as, enc_bs, a_strs, b_strs, table, gap, *,
+    seg_diagonals: int = 4096, quantum: int = 512, engine: str = "auto",
+):
+    """Viterbi-align a GROUP of long pairs with bounded memory, all pairs
+    in one batched segmented sweep (pad to the group max — callers should
+    group pairs of similar length). Returns a list of engine.AlignResult;
+    strings/scores identical to the full-bp path.
+
+    engine: 'pallas' forces the VMEM-resident segment kernel, 'xla' the
+    scan fallback; 'auto' picks Pallas on an accelerator when the slot
+    count fits its VMEM envelope."""
+    k = int(gap.len)
+    if engine == "auto":
+        NB_pad = _round_up(
+            max(max(len(b) for b in enc_bs), quantum), quantum
+        )
+        C128 = ((NB_pad + k + 127) // 128) * 128
+        dev = getattr(jax.config, "jax_default_device", None)
+        platform = getattr(dev, "platform", None) or jax.devices()[0].platform
+        engine = (
+            "pallas"
+            if platform != "cpu" and C128 <= PALLAS_SEG_MAX_C
+            else "xla"
+        )
+    if engine == "pallas":
+        du = 4
+        seg = _round_up(int(seg_diagonals), du)
+        return _viterbi_align_long_pallas(
+            enc_as, enc_bs, a_strs, b_strs, table, gap,
+            seg_diagonals=seg, quantum=quantum,
+        )
+    return _viterbi_align_long_xla(
+        enc_as, enc_bs, a_strs, b_strs, table, gap,
+        seg_diagonals=int(seg_diagonals), quantum=quantum,
+    )
+
+
+def viterbi_align_long(
+    enc_a, enc_b, a_str, b_str, table, gap, *, seg_diagonals: int = 4096,
+    quantum: int = 512, engine: str = "auto",
+):
+    """Viterbi-align one long pair with bounded memory (batch of 1)."""
+    return viterbi_align_long_batch(
+        [enc_a], [enc_b], [a_str], [b_str], table, gap,
+        seg_diagonals=seg_diagonals, quantum=quantum, engine=engine,
+    )[0]

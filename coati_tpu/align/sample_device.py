@@ -51,6 +51,14 @@ def _sample_paths(Ms, Ds, Is, enc_a, enc_b, table, gc4, key, *, k, n_steps,
     gek = ge * F(k)
     zero = jnp.float32(ZERO)
 
+    # one stacked state volume: each walk step gathers the (M, D, I)
+    # triple at a coordinate with ONE gather instead of three (the scan is
+    # gather-latency-bound, not bandwidth-bound)
+    S3 = jnp.stack([Ms, Ds, Is], axis=-1)  # [Dtot, C, 3]
+
+    def val3(i, j):
+        return S3[i + j, j]  # [N, 3]
+
     def val(S, i, j):
         return S[i + j, j]
 
@@ -91,28 +99,33 @@ def _sample_paths(Ms, Ds, Is, enc_a, enc_b, table, gc4, key, *, k, n_steps,
         jb = jnp.clip(j - k, 0, None)
         sub = table[enc_a[ia], enc_b[jb]]
 
+        v_c = val3(i, j)  # (M, D, I) at the current cell
+
         # branch M candidates (predecessor at (i-1, j-1))
         pi = jnp.clip(i - 1, 0, None)
         pj = jnp.clip(j - 1, 0, None)
-        mm = val(Ms, pi, pj) + (ng + ng) + sub
-        dm = val(Ds, pi, pj) + gs + sub
-        im = val(Is, pi, pj) + (gs + ng) + sub
+        v_p = val3(pi, pj)
+        mm = v_p[:, 0] + (ng + ng) + sub
+        dm = v_p[:, 1] + gs + sub
+        im = v_p[:, 2] + (gs + ng) + sub
         mm, dm, im = (jnp.where(body, x, zero) for x in (mm, dm, im))
 
         # branch D candidates (predecessor at (i-k, j))
         pik = jnp.clip(i - k, 0, None)
-        md = jnp.where(body, val(Ms, pik, j) + (ng + go) + gek1, zero)
-        dd = jnp.where(body, val(Ds, pik, j) + gek, val(Ds, i, j))
-        id_ = jnp.where(body, val(Is, pik, j) + (gs + go) + gek1, zero)
+        v_k = val3(pik, j)
+        md = jnp.where(body, v_k[:, 0] + (ng + go) + gek1, zero)
+        dd = jnp.where(body, v_k[:, 1] + gek, v_c[:, 1])
+        id_ = jnp.where(body, v_k[:, 2] + (gs + go) + gek1, zero)
 
         # branch I candidates (predecessor at (i, j-k)); D never precedes I
         pjk = jnp.clip(j - k, 0, None)
-        mi = jnp.where(body, val(Ms, i, pjk) + go + gek1, zero)
-        ii = jnp.where(body, val(Is, i, pjk) + gek, val(Is, i, j))
+        v_j = val3(i, pjk)
+        mi = jnp.where(body, v_j[:, 0] + go + gek1, zero)
+        ii = jnp.where(body, v_j[:, 2] + gek, v_c[:, 2])
 
         w = jnp.where(
-            pick == 0, val(Ms, i, j),
-            jnp.where(pick == 1, val(Ds, i, j), val(Is, i, j)),
+            pick == 0, v_c[:, 0],
+            jnp.where(pick == 1, v_c[:, 1], v_c[:, 2]),
         )
         logm = jnp.where(pick == 0, mm, jnp.where(pick == 1, md, mi)) - w
         logd = jnp.where(pick == 0, dm, jnp.where(pick == 1, dd, zero)) - w
@@ -130,9 +143,26 @@ def _sample_paths(Ms, Ds, Is, enc_a, enc_b, table, gc4, key, *, k, n_steps,
         pick = jnp.where(active, nxt, pick)
         return (i, j, pick, score), op
 
-    (_, _, _, score), ops = jax.lax.scan(
-        step, (i0, j0, pick0, score0), keys
+    # U walk-steps per scan iteration: the scan is per-iteration-overhead
+    # bound (each step is ~5 small gathers over [N] lanes); unrolling
+    # amortizes it. Finished walks no-op through padding steps, and the
+    # per-step key stream is identical to the unrolled-by-1 form.
+    U = 4
+    pad = (-n_steps) % U
+    if pad:
+        keys = jnp.concatenate([keys, keys[-1:].repeat(pad, axis=0)])
+
+    def group(carry, kg):
+        ops_u = []
+        for u in range(U):
+            carry, op = step(carry, kg[u])
+            ops_u.append(op)
+        return carry, jnp.stack(ops_u)
+
+    (_, _, _, score), opsg = jax.lax.scan(
+        group, (i0, j0, pick0, score0), keys.reshape(-1, U, *keys.shape[1:])
     )
+    ops = opsg.reshape(-1, N)[:n_steps]
     return ops, score
 
 

@@ -39,6 +39,13 @@ def _load():
         ctypes.c_float, ctypes.c_float, ctypes.c_int, u8p,
         ctypes.POINTER(ctypes.c_int),
     ]
+    if hasattr(lib, "coati_sample_anchor"):
+        lib.coati_sample_anchor.restype = ctypes.c_double
+        lib.coati_sample_anchor.argtypes = [
+            i32p, ctypes.c_int, i32p, ctypes.c_int, f32p,
+            ctypes.c_float, ctypes.c_float, ctypes.c_int,
+            ctypes.c_int, ctypes.c_uint64,
+        ]
     i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     cp = ctypes.c_char_p
@@ -170,3 +177,21 @@ def viterbi_align(enc_a, enc_b, a_str, b_str, gap, table):
             j -= k
         st = int(nxt)
     return "".join(reversed(s0)), "".join(reversed(s1)), float(score)
+
+
+def sample_anchor(enc_a, enc_b, table, gap, n_samples: int,
+                  seed: int = 42) -> float:
+    """Reference-equivalent sampling workload, single thread: one Forward
+    (log) fill with stored M/D/I planes + n stochastic tracebacks
+    (align_marginal.cc:536-594). Returns the checksum (sum of sampled
+    path scores); callers time the call."""
+    lib = _load()
+    if not hasattr(lib, "coati_sample_anchor"):
+        raise OSError("libcoatihmm.so predates coati_sample_anchor; "
+                      "run make -C native clean all")
+    a = np.ascontiguousarray(enc_a, dtype=np.int32)
+    b = np.ascontiguousarray(enc_b, dtype=np.int32)
+    t = np.ascontiguousarray(table, dtype=np.float32)
+    return float(lib.coati_sample_anchor(
+        a, len(a), b, len(b), t, np.float32(gap.open),
+        np.float32(gap.extend), gap.len, int(n_samples), seed))

@@ -157,9 +157,140 @@ float forward_impl(const int32_t* a, int na, const int32_t* b, int nb,
   return score;
 }
 
+// xorshift-style 64-bit generator + 24-bit float draw, the same cost
+// profile as the reference's fragmites f24 (align_pair.cc:401-458 draws
+// one f24 per sampled edge).
+struct Rand64 {
+  uint64_t s;
+  explicit Rand64(uint64_t seed) : s(seed | 1) {}
+  inline uint64_t next() {
+    s ^= s << 13;
+    s ^= s >> 7;
+    s ^= s << 17;
+    return s;
+  }
+  inline float f24() {
+    return static_cast<float>(next() >> 40) * (1.0f / 16777216.0f);
+  }
+};
+
 }  // namespace
 
 extern "C" {
+
+// Reference-equivalent sampling workload anchor (align_marginal.cc:536-594):
+// ONE full Forward (log) fill with stored M/D/I planes, then n_samples
+// stochastic tracebacks with categorical draws per step. Single thread.
+// Returns the sum of sampled path scores (a checksum so the work cannot be
+// optimized away); candidate arithmetic matches the device sampler
+// (align/sample_device.py) so the walks traverse the same distribution.
+double coati_sample_anchor(const int32_t* a, int na, const int32_t* b, int nb,
+                           const float* table, float gap_open,
+                           float gap_extend, int k, int n_samples,
+                           uint64_t seed) {
+  GapConsts g = gap_consts(gap_open, gap_extend, k);
+  const int R = na + k;
+  const int C = nb + k;
+  std::vector<float> M(static_cast<size_t>(R) * C, kLowest);
+  std::vector<float> D(static_cast<size_t>(R) * C, kLowest);
+  std::vector<float> I(static_cast<size_t>(R) * C, kLowest);
+  auto at = [C](std::vector<float>& X, int i, int j) -> float& {
+    return X[static_cast<size_t>(i) * C + j];
+  };
+
+  const int start = k - 1;
+  at(M, start, start) = 0.0f;
+  for (int j = start + k; j < C; j += k)
+    at(I, start, j) = g.go + g.ge * static_cast<float>(j - 1);
+  for (int i = start + k; i < R; i += k)
+    at(D, i, start) = (g.ng + g.go) + g.ge * static_cast<float>(i - 1);
+
+  for (int i = k; i < R; ++i) {
+    const float* trow = table + static_cast<size_t>(a[i - k]) * 15;
+    for (int j = k; j < C; ++j) {
+      const float sub = trow[b[j - k]];
+      const float m2m = ((at(M, i - 1, j - 1) + g.ng) + g.ng) + sub;
+      const float d2m = (at(D, i - 1, j - 1) + g.gs) + sub;
+      const float i2m = ((at(I, i - 1, j - 1) + g.gs) + g.ng) + sub;
+      const float m2d = ((at(M, i - k, j) + g.ng) + g.go) + g.gek1;
+      const float i2d = ((at(I, i - k, j) + g.gs) + g.go) + g.gek1;
+      const float d2d = at(D, i - k, j) + g.gek;
+      const float m2i = (at(M, i, j - k) + g.go) + g.gek1;
+      const float i2i = at(I, i, j - k) + g.gek;
+      at(M, i, j) = lse(lse(m2m, d2m), i2m);
+      at(D, i, j) = lse(lse(m2d, d2d), i2d);
+      at(I, i, j) = lse(m2i, i2i);
+    }
+  }
+
+  // terminal-adjusted corner
+  const float cm = (at(M, R - 1, C - 1) + g.ng) + g.ng;
+  const float cd = at(D, R - 1, C - 1) + g.gs;
+  const float ci = (at(I, R - 1, C - 1) + g.gs) + g.ng;
+  const float w0 = fmax2(fmax2(cm, cd), ci);
+
+  Rand64 rand(seed);
+  double checksum = 0.0;
+  for (int s = 0; s < n_samples; ++s) {
+    // terminal-state draw
+    float em = std::exp(cm - w0), ed = std::exp(cd - w0),
+          ei = std::exp(ci - w0);
+    float scale = em + ed + ei;
+    float p = rand.f24() * scale;
+    int pick = (p < em) ? 0 : ((p < em + ed) ? 1 : 2);
+    float score = ((pick == 0) ? cm - w0 : (pick == 1) ? cd - w0 : ci - w0) -
+                  std::log(scale);
+    int i = R - 1, j = C - 1;
+    while (i > k - 1 || j > k - 1) {
+      const bool body = (i >= k && j >= k);
+      const float sub =
+          body ? table[static_cast<size_t>(a[i - k]) * 15 + b[j - k]] : 0.0f;
+      const float zero = kLowest;
+      float mm = zero, dm = zero, im = zero, md = zero, dd = zero,
+            id_ = zero, mi = zero, ii = zero;
+      if (body) {
+        mm = at(M, i - 1, j - 1) + (g.ng + g.ng) + sub;
+        dm = at(D, i - 1, j - 1) + g.gs + sub;
+        im = at(I, i - 1, j - 1) + (g.gs + g.ng) + sub;
+        md = at(M, i - k, j) + (g.ng + g.go) + g.gek1;
+        dd = at(D, i - k, j) + g.gek;
+        id_ = at(I, i - k, j) + (g.gs + g.go) + g.gek1;
+        mi = at(M, i, j - k) + g.go + g.gek1;
+        ii = at(I, i, j - k) + g.gek;
+      } else {
+        dd = at(D, i, j);
+        ii = at(I, i, j);
+      }
+      const float w = (pick == 0) ? at(M, i, j)
+                      : (pick == 1) ? at(D, i, j)
+                                    : at(I, i, j);
+      const float lm =
+          ((pick == 0) ? mm : (pick == 1) ? md : mi) - w;
+      const float ld =
+          ((pick == 0) ? dm : (pick == 1) ? dd : zero) - w;
+      const float li =
+          ((pick == 0) ? im : (pick == 1) ? id_ : ii) - w;
+      em = std::exp(lm);
+      ed = std::exp(ld);
+      ei = std::exp(li);
+      scale = em + ed + ei;
+      p = rand.f24() * scale;
+      const int nxt = (p < em) ? 0 : ((p < em + ed) ? 1 : 2);
+      score += ((nxt == 0) ? lm : (nxt == 1) ? ld : li) - std::log(scale);
+      if (pick == 0) {
+        --i;
+        --j;
+      } else if (pick == 1) {
+        i -= k;
+      } else {
+        j -= k;
+      }
+      pick = nxt;
+    }
+    checksum += score;
+  }
+  return checksum;
+}
 
 // Viterbi score only (tropical), O(k * C) memory.
 float coati_viterbi_score(const int32_t* a, int na, const int32_t* b, int nb,

@@ -40,9 +40,24 @@ def test_bench_quick_json_schema():
         "n_pairs", "batch_seconds", "pass_seconds", "stat",
         "baseline_cells_per_sec", "triplet_cells_per_sec",
         "triplet_long_cells_per_sec", "longpair_cells_per_sec",
-        "samples_per_sec", "sample_n", "sample_nt", "ladder", "device",
+        "samples_per_sec", "sample_n", "sample_nt",
+        "samples_baseline_per_sec", "samples_vs_baseline",
+        "sample_long_per_sec", "sample_long_n", "sample_long_nt",
+        "sample_long_vs_baseline",
+        "device_seconds", "device_chunk_breakdown", "ladder", "device",
     ):
         assert key in out, key
+    # device-only pass time (VERDICT r4 #5): estimated per-chunk via
+    # single-dispatch device loops; must be positive and carry a breakdown
+    assert out["device_seconds"] > 0
+    assert isinstance(out["device_chunk_breakdown"], list)
+    assert out["device_chunk_breakdown"]
+    for entry in out["device_chunk_breakdown"]:
+        assert entry["n_chunks"] >= 1 and entry["device_ms_per_chunk"] > 0
+    # the sample metric carries its native single-thread anchor column
+    # (reference-equivalent Forward + N-traceback workload)
+    assert out["samples_vs_baseline"] is None or out["samples_vs_baseline"] > 0
+    assert out["sample_long_per_sec"] > 0
     assert out["metric"] == "alignments_per_sec_mixed10k_marmg"
     assert out["value"] > 0
     assert out["stat"] == "median_of_agreeing_passes"

@@ -191,8 +191,47 @@ def test_pallas_segments_match_xla_segments(mg94_table, k, seg):
 
     x = viterbi_align_long(ea, eb, anc, des, mg94_table, gap,
                            seg_diagonals=seg, quantum=64, engine="xla")
-    p = _viterbi_align_long_pallas(ea, eb, anc, des, mg94_table, gap,
-                                   seg_diagonals=seg, quantum=64,
-                                   interpret=True)
+    p = _viterbi_align_long_pallas([ea], [eb], [anc], [des], mg94_table,
+                                   gap, seg_diagonals=seg, quantum=64,
+                                   interpret=True)[0]
     assert (p.seq0, p.seq1) == (x.seq0, x.seq1)
     assert p.score == pytest.approx(x.score, abs=1e-5)
+
+
+@pytest.mark.parametrize("engine", ["xla", "pallas"])
+def test_long_batch_matches_full_bp(mg94_table, engine):
+    """A GROUP of long pairs through one batched segmented sweep (the
+    ladder's 11k-30k nt cliff fix) == the full-backpointer engine, pair by
+    pair — mixed lengths padded to the group max, some pairs finishing
+    their walk segments earlier than others."""
+    import random
+
+    from coati_tpu.align.longseq import (
+        _viterbi_align_long_pallas,
+        viterbi_align_long_batch,
+    )
+
+    rng = random.Random(99)
+    gap = GapParams()
+    pairs = [_mutated_pair(rng, n, n_indels=3) for n in (150, 180, 120)]
+    encs = [encode_marginal(a, d) for a, d in pairs]
+    eas = [e[0] for e in encs]
+    ebs = [e[1] for e in encs]
+    ancs = [p[0] for p in pairs]
+    dess = [p[1] for p in pairs]
+
+    if engine == "pallas":
+        batch = _viterbi_align_long_pallas(
+            eas, ebs, ancs, dess, mg94_table, gap,
+            seg_diagonals=256, quantum=64, interpret=True,
+        )
+    else:
+        batch = viterbi_align_long_batch(
+            eas, ebs, ancs, dess, mg94_table, gap,
+            seg_diagonals=256, quantum=64, engine="xla",
+        )
+    for (ea, eb), a, d, r in zip(encs, ancs, dess, batch):
+        full = viterbi_align_batch([ea], [eb], [a], [d], mg94_table, gap,
+                                   quantum=64)[0]
+        assert (r.seq0, r.seq1) == (full.seq0, full.seq1)
+        assert r.score == pytest.approx(full.score, abs=1e-4)

@@ -148,7 +148,9 @@ def test_pallas_bc_for_thresholds():
     assert _pallas_bc_for(2816, want_bp=True) == PALLAS_BC
     assert _pallas_bc_for(4096, want_bp=True) == 8
     assert _pallas_bc_for(11264, want_bp=True) == 8
-    assert _pallas_bc_for(12000, want_bp=True) is None
+    assert _pallas_bc_for(12000, want_bp=True) == 4
+    assert _pallas_bc_for(16512, want_bp=True) == 4
+    assert _pallas_bc_for(17000, want_bp=True) is None
     assert _pallas_bc_for(12000, want_bp=False) == 8
     assert _pallas_bc_for(32768, want_bp=False) is None
 
