@@ -277,3 +277,249 @@ def triplet_rows_pallas(anc_cods, des_codes, ins_off, logP64, match_emit,
     bnd = jnp.concatenate([b0, bnd[:, :, :, :Cc_real]], axis=0)
     amax = jnp.concatenate([a0, amax[:, :, :, :Cc_real]], axis=0)
     return bnd, amax
+
+
+# --- device traceback walk --------------------------------------------------
+# The XLA walk (triplet_wavefront._triplet_walk_seg) is launch-bound: each
+# codon block issues ~200 small XLA ops (row recomputes + one-hot
+# extractions) at ~4 us apiece -> ~0.9 ms/block, 5x the Pallas forward's
+# whole factored step. This kernel runs the identical 6-phase static walk
+# in VMEM: grid over block groups (descending), carried (i, j, st) walk
+# state as [B, 1] planes, run-encoded op rows streamed out per group.
+# Arithmetic, tie-breaks, and the run-exit rule match the XLA walk
+# bit-for-bit (asserted in interpret mode by tests/test_triplet.py).
+
+
+def _make_walk_kernel(B: int, Cc: int, K: int, n_groups: int, S: int):
+    def kernel(
+        tlo_ref,     # [1, 2] SMEM: (t_lo, unused)
+        grid_ref,    # [K, 3, B, Cc] boundary rows for this group's blocks
+        amax_ref,    # [K, 3, B, Cc] int32 argmax lanes
+        cost_ref,    # [K, B, 64] codon64 entry costs
+        E_ref,       # [4, B, Cc] per-class match emissions (resident)
+        insoff_ref,  # [B, Cc] insertion run offsets (resident)
+        gc_ref,      # [1, 4] SMEM gap constants
+        st_in_ref,   # [4, B, 1] int32 walk state in (i, j, st, pad)
+        ops_ref,     # out [6K, B, 1] int32 run-encoded rows
+        st_out_ref,  # out [4, B, 1] int32 walk state out
+        state_ref,   # scratch [4, B, 1] int32
+    ):
+        g = pl.program_id(0)
+        tg = n_groups - 1 - g  # groups run in DESCENDING block order
+        t_lo = tlo_ref[0, 0]
+        ng = gc_ref[0, 0]
+        gs = gc_ref[0, 1]
+        go = gc_ref[0, 2]
+        ge = gc_ref[0, 3]
+        ng_ng = ng + ng
+        gs_ng = gs + ng
+        ng_go = ng + go
+        gs_go = gs + go
+        go_ge = go - ge
+        off = insoff_ref[...]
+        u_Cc = jax.lax.broadcasted_iota(jnp.int32, (B, Cc), 1)
+        i64 = jax.lax.broadcasted_iota(jnp.int32, (B, 64), 1)
+
+        @pl.when(g == 0)
+        def _init():
+            state_ref[...] = st_in_ref[...]
+
+        i = state_ref[0]   # [B, 1]
+        j = state_ref[1]
+        st = state_ref[2]
+
+        def red_max(plane, oh, fill):
+            """plane[b, j*] for the single column with oh[b, j*] True."""
+            return jnp.max(
+                jnp.where(oh, plane, fill), axis=1, keepdims=True
+            )
+
+        def row_ins(M):
+            run = _cummax_last(M - off, Cc)
+            return _shift_right_last(run, 1, NEG) + (off + go_ge)
+
+        def shiftmax3(M, D, I):
+            sM = _shift_right_last(M, 1, NEG)
+            sD = _shift_right_last(D, 1, NEG)
+            sI = _shift_right_last(I, 1, NEG)
+            body = _max3(sM + ng_ng, sD + gs, sI + gs_ng)
+            return jnp.where(u_Cc < 1, NEG, body)
+
+        def dmax3(M, D, I):
+            return _max3(M + ng_go, D + ge, I + gs_go)
+
+        def amax_pref(a, b, c):
+            code = jnp.where(b > a, 1, 0)
+            return jnp.where(c > jnp.maximum(a, b), 2, code)
+
+        E = [E_ref[x] for x in range(4)]
+
+        for q in range(K):
+            tl = K - 1 - q  # blocks run descending within the group
+            gr = grid_ref[tl]    # [3, B, Cc]
+            am = amax_ref[tl]
+            Mr, Dr, Ir = gr[0], gr[1], gr[2]
+
+            # bind each active pair's lane at the block's top boundary
+            am_st = jnp.where(
+                st == 0, am[0], jnp.where(st == 1, am[1], am[2])
+            )
+            oh_j = u_Cc == j
+            lane = red_max(am_st, oh_j, 0)  # [B, 1] codon64
+            cost_s = red_max(cost_ref[tl], i64 == lane, NEG)
+            x1 = (lane >> 4) & 3
+            x2 = (lane >> 2) & 3
+            x3 = lane & 3
+
+            def e_at(x):
+                return jnp.where(
+                    x == 0, E[0],
+                    jnp.where(x == 1, E[1], jnp.where(x == 2, E[2], E[3])),
+                )
+
+            e1 = e_at(x1)
+            e2 = e_at(x2)
+            e3 = e_at(x3)
+
+            core1 = shiftmax3(Mr, Dr, Ir)
+            M1 = core1 + e1
+            D1 = dmax3(Mr, Dr, Ir)
+            I1 = row_ins(M1)
+            core2 = shiftmax3(M1, D1, I1)
+            M2 = core2 + e2
+            D2 = dmax3(M1, D1, I1)
+            I2 = row_ins(M2)
+            core3 = shiftmax3(M2, D2, I2)
+            ce3 = cost_s + e3
+            M3 = core3 + ce3
+            D3 = dmax3(M2, D2, I2) + cost_s
+            I3 = row_ins(M3)
+            rows_M = (M1, M2, M3)
+            rows_D = (D1, D2, D3)
+            rows_I = (I1, I2, I3)
+
+            def run_exit_cols(Mrow, Irow):
+                # LAST u where the LITERAL f32 rule M[u]+go > I[u]+ge
+                # holds (identical to the XLA walk's run-exit form)
+                exit_ok = (Mrow + go) > (Irow + ge)
+                return _cummax_last(
+                    jnp.where(exit_ok, u_Cc, -1), Cc, fill=jnp.int32(-1)
+                )
+
+            base_i = 3 * (t_lo + tg * K + tl)
+            for ph in range(6):
+                act = (i > base_i) & ((i > 0) | (j > 0))
+                if ph % 2 == 0:
+                    r = 2 - ph // 2
+                    run_here = act & (st == 2)
+                    Ucol = run_exit_cols(rows_M[r], rows_I[r])
+                    u = red_max(Ucol, u_Cc == (j - 1), 0)
+                    cnt = jnp.where(run_here, j - u, 0)
+                    ops_ref[6 * tl + ph] = jnp.int32(2) | (cnt << 2)
+                    j = jnp.where(run_here, u, j)
+                    st = jnp.where(run_here, 0, st)
+                else:
+                    rb = 1 - ph // 2
+                    dj = jnp.where(st == 0, 1, 0)
+                    pj = j - dj
+                    oh_pj = u_Cc == pj
+                    if ph < 5:
+                        Mv, Dv, Iv = rows_M[rb], rows_D[rb], rows_I[rb]
+                    else:
+                        Mv, Dv, Iv = Mr, Dr, Ir
+                    mv = red_max(Mv, oh_pj, NEG)
+                    dv = red_max(Dv, oh_pj, NEG)
+                    iv = red_max(Iv, oh_pj, NEG)
+                    nxt_m = amax_pref(mv + ng_ng, dv + gs, iv + gs_ng)
+                    nxt_d = amax_pref(mv + ng_go, dv + ge, iv + gs_go)
+                    nxt = jnp.where(st == 0, nxt_m, nxt_d)
+                    cnt = act.astype(jnp.int32)
+                    ops_ref[6 * tl + ph] = st | (cnt << 2)
+                    i = jnp.where(act, i - 1, i)
+                    j = jnp.where(act, pj, j)
+                    st = jnp.where(act, nxt, st)
+
+        state_ref[0] = i
+        state_ref[1] = j
+        state_ref[2] = st
+
+        @pl.when(g == n_groups - 1)
+        def _export():
+            st_out_ref[...] = state_ref[...]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("S", "K", "interpret"))
+def triplet_walk_pallas(grid_seg, amax_seg, cost_rows, E4, ins_off, t_lo,
+                        i0, j0, st0, gc, *, S: int, K: int = 8,
+                        interpret: bool = False):
+    """Pallas traceback walk over S codon blocks (descending).
+
+    grid_seg [S, 3, B, Cc_real], amax_seg [S, 3, B, Cc_real],
+    cost_rows [S, B, 64], E4 [B, 4, Cc_real], ins_off [B, Cc_real];
+    i0/j0/st0 [B] int32 walk state entering block S-1's TOP boundary.
+    Returns (i, j, st [B], ops [6S, B] int32 run-encoded rows)."""
+    Sg, _, B, Cc_real = grid_seg.shape
+    assert Sg == S
+    Cc = ((Cc_real + 127) // 128) * 128
+    Kk = min(K, S)
+    n_groups = -(-S // Kk)
+    S_pad = n_groups * Kk
+
+    padc = ((0, S_pad - S), (0, 0), (0, 0), (0, Cc - Cc_real))
+    grid_p = jnp.pad(grid_seg, padc)
+    amax_p = jnp.pad(amax_seg, padc)
+    cost_p = jnp.pad(cost_rows, ((0, S_pad - S), (0, 0), (0, 0)))
+    E = jnp.pad(
+        jnp.transpose(E4, (1, 0, 2)), ((0, 0), (0, 0), (0, Cc - Cc_real))
+    )
+    off_p = jnp.pad(ins_off, ((0, 0), (0, Cc - Cc_real)))
+    gc4 = jnp.reshape(jnp.stack([gc[0], gc[1], gc[2], gc[3]]), (1, 4))
+    tlo_a = jnp.reshape(
+        jnp.stack([jnp.int32(t_lo), jnp.int32(0)]), (1, 2)
+    )
+    st_in = jnp.stack(
+        [i0, j0, st0, jnp.zeros_like(i0)], axis=0
+    ).astype(jnp.int32)[:, :, None]
+
+    kernel = _make_walk_kernel(B, Cc, Kk, n_groups, S)
+    rev = lambda g: (n_groups - 1 - g,)
+    ops, st_out = pl.pallas_call(
+        kernel,
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda g: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((Kk, 3, B, Cc), lambda g: (n_groups - 1 - g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kk, 3, B, Cc), lambda g: (n_groups - 1 - g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kk, B, 64), lambda g: (n_groups - 1 - g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, B, Cc), lambda g: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, Cc), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), lambda g: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, B, 1), lambda g: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((6 * Kk, B, 1),
+                         lambda g: (n_groups - 1 - g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, B, 1), lambda g: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((6 * S_pad, B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((4, B, 1), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((4, B, 1), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(tlo_a, grid_p, amax_p, cost_p, E, off_p, gc4, st_in)
+    return (st_out[0, :, 0], st_out[1, :, 0], st_out[2, :, 0],
+            ops[: 6 * S, :, 0])

@@ -180,3 +180,145 @@ def sharded_viterbi_align_batch(
     ops = np.asarray(jax.device_get(ops_d))[::-1, :n]
     score = np.asarray(jax.device_get(score_d))[:n]
     return ops_to_strings(ops, score, list(a_strs), list(b_strs), k)
+
+
+# --- triplet (codon-context) models over the mesh ---------------------------
+@functools.partial(jax.jit, static_argnames=("n_cod", "mesh"))
+def _sharded_triplet_step(anc_p, des_p, ins_off, lens_t, lens_m, logP64,
+                          me, gc, *, n_cod, mesh):
+    """Data-parallel triplet forward + device traceback: one executable
+    spanning the mesh; the local body is the exact batched step
+    triplet_align_batch runs on one device."""
+    from coati_tpu.triplet_wavefront import (
+        _triplet_rows,
+        _triplet_traceback,
+    )
+
+    def local(anc_p, des_p, ins_off, lens_t, lens_m, logP64, me, gc):
+        grid, amax = _triplet_rows(
+            anc_p, des_p, ins_off, logP64, me, gc, n_cod=n_cod
+        )
+        return _triplet_traceback(
+            grid, amax, anc_p, des_p, ins_off, lens_t, lens_m,
+            logP64, me, gc, n_cod=n_cod,
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P("data"), P("data"),
+                  P(), P(), P()),
+        out_specs=(P(None, "data"), P("data"), P("data"), P("data")),
+        check_vma=False,
+    )(anc_p, des_p, ins_off, lens_t, lens_m, logP64, me, gc)
+
+
+def sharded_triplet_align_batch(model, pairs, mesh: Mesh):
+    """Triplet alignment for (anc, des) string pairs, pair batch sharded
+    over the mesh's 'data' axis. Strings/scores identical to the
+    single-device triplet_align_batch (same f32 step, same walk)."""
+    from coati_tpu.triplet_hmm import encode_triplet_pair
+    from coati_tpu.triplet_wavefront import _decode_ops, _pack_batch
+    from coati_tpu.align.engine import _round_up
+
+    nd = mesh.devices.size
+    n = len(pairs)
+    pad_n = _round_up(max(n, nd), nd)
+    pairs_p = list(pairs) + [pairs[0]] * (pad_n - n)
+    enc = [encode_triplet_pair(model, a, d) for a, d in pairs_p]
+    anc_p, des_p, lens_t, lens_m, ins_off, tables, n_cod = _pack_batch(
+        model, [e[0] for e in enc], [e[1] for e in enc]
+    )
+    logP64_t, me_t, gc_t = tables
+
+    sharding = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    args = (
+        jax.device_put(jnp.asarray(anc_p), sharding),
+        jax.device_put(jnp.asarray(des_p), sharding),
+        jax.device_put(jnp.asarray(ins_off), sharding),
+        jax.device_put(jnp.asarray(lens_t), sharding),
+        jax.device_put(jnp.asarray(lens_m), sharding),
+        jax.device_put(logP64_t, rep),
+        jax.device_put(me_t, rep),
+        jax.device_put(gc_t, rep),
+    )
+    ops, i_end, j_end, score = _sharded_triplet_step(
+        *args, n_cod=n_cod, mesh=mesh
+    )
+    ops, i_end, j_end, score = (
+        np.asarray(x) for x in jax.device_get((ops, i_end, j_end, score))
+    )
+    out = []
+    for b, (anc, des) in enumerate(pairs):
+        s0, s1 = _decode_ops(anc, des, ops[:, b], int(i_end[b]),
+                             int(j_end[b]))
+        out.append((s0, s1, float(-score[b])))
+    return out
+
+
+# --- forward + stochastic-traceback sampling over the mesh ------------------
+def sharded_sample_batch(Ms, Ds, Is, corners, enc_a, enc_b, table, a, b,
+                         gap, seed_u64: int, n: int, mesh: Mesh):
+    """Draw n alignments from the Forward distribution with the DRAWS
+    sharded over the mesh: every device holds the (replicated) state
+    matrices and walks its own slice of tracebacks with a per-device key.
+    Deterministic for a given (seed, mesh size); yields (s0, s1, score)."""
+    from coati_tpu.align.sample_device import (
+        _sample_paths,
+        decode_sample_ops,
+    )
+    from coati_tpu.align.semiring import gap_constants
+
+    k = int(gap.len)
+    gc4 = np.array(gap_constants(gap.open, gap.extend), np.float32)
+    R = len(enc_a) + k
+    Cc = len(enc_b) + k
+    d_corner = R - 1 + Cc - 1
+    F = np.float32
+    Ms = jnp.asarray(Ms).at[d_corner, Cc - 1].set(F(corners[0]))
+    Ds = jnp.asarray(Ds).at[d_corner, Cc - 1].set(F(corners[1]))
+    Is = jnp.asarray(Is).at[d_corner, Cc - 1].set(F(corners[2]))
+    n_steps = (R - k) + (Cc - k)
+
+    nd = mesh.devices.size
+    per = -(-n // nd)
+    keys = jax.random.split(
+        jax.random.PRNGKey(seed_u64 & 0x7FFFFFFFFFFFFFFF), nd
+    )
+
+    rep = NamedSharding(mesh, P())
+    shd = NamedSharding(mesh, P("data"))
+    Ms_d = jax.device_put(Ms, rep)
+    Ds_d = jax.device_put(Ds, rep)
+    Is_d = jax.device_put(Is, rep)
+    ea = jax.device_put(jnp.asarray(np.asarray(enc_a, np.int32)), rep)
+    eb = jax.device_put(jnp.asarray(np.asarray(enc_b, np.int32)), rep)
+    tbl = jax.device_put(jnp.asarray(np.asarray(table, np.float32)), rep)
+    gcd = jax.device_put(jnp.asarray(gc4), rep)
+    keys_d = jax.device_put(keys, shd)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def step(Ms, Ds, Is, ea, eb, tbl, gcd, keys):
+        def local(Ms, Ds, Is, ea, eb, tbl, gcd, keys):
+            return _sample_paths(
+                Ms, Ds, Is, ea, eb, tbl, gcd, keys[0],
+                k=k, n_steps=n_steps, n_samples=per, R=R, Cc=Cc,
+            )
+
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(), P(), P("data")),
+            out_specs=(P(None, "data"), P("data")),
+            check_vma=False,
+        )(Ms, Ds, Is, ea, eb, tbl, gcd, keys)
+
+    ops, scores = step(Ms_d, Ds_d, Is_d, ea, eb, tbl, gcd, keys_d)
+    ops = np.asarray(jax.device_get(ops))
+    scores = np.asarray(jax.device_get(scores))
+    out = []
+    for s in range(n):
+        s0, s1 = decode_sample_ops(ops[:, s], a, b, k)
+        out.append((s0, s1, float(scores[s])))
+    return out

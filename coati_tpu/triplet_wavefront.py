@@ -237,6 +237,44 @@ def triplet_terminal(Mr, Dr, Ir, lens_m, gc):
 @functools.partial(jax.jit, static_argnames=("S",))
 def _triplet_walk_seg(grid_seg, amax_seg, anc_seg, des_codes, ins_off,
                       t_lo, state, logP64, match_emit, gc, *, S: int):
+    """Dispatch the S-block traceback walk: Pallas kernel on accelerators
+    (the XLA walk is launch-bound at ~0.9 ms/block; the kernel runs the
+    identical 6-phase structure VMEM-resident), XLA scan on CPU or with
+    COATI_TPU_TRI_WALK=xla. Identical ops/state by construction (asserted
+    in interpret mode by tests/test_triplet.py)."""
+    use_pallas = (
+        _os.environ.get("COATI_TPU_TRI_WALK", "pallas") == "pallas"
+        and jax.default_backend() != "cpu"
+    )
+    if not use_pallas:
+        return _triplet_walk_seg_xla(
+            grid_seg, amax_seg, anc_seg, des_codes, ins_off, t_lo, state,
+            logP64, match_emit, gc, S=S,
+        )
+    from coati_tpu.kernels.triplet_pallas import triplet_walk_pallas
+
+    B, m = des_codes.shape
+    i, j, st, ops = state
+    cost_rows = jnp.transpose(logP64[anc_seg], (1, 0, 2))  # [S, B, 64]
+    E4 = jnp.concatenate(
+        [
+            jnp.zeros((B, 4, 1), jnp.float32),
+            jnp.transpose(match_emit[:4, des_codes], (1, 0, 2)),
+        ],
+        axis=2,
+    )  # [B, 4, Cc]
+    i2, j2, st2, rows = triplet_walk_pallas(
+        grid_seg[:S], amax_seg[:S], cost_rows, E4, ins_off,
+        t_lo, i, j, st, gc, S=S,
+    )
+    ops = jax.lax.dynamic_update_slice(
+        ops, rows, (6 * jnp.int32(t_lo), jnp.int32(0))
+    )
+    return i2, j2, st2, ops
+
+
+def _triplet_walk_seg_xla(grid_seg, amax_seg, anc_seg, des_codes, ins_off,
+                          t_lo, state, logP64, match_emit, gc, *, S: int):
     """Walk S codon blocks (global indices t_lo + S - 1 .. t_lo) of the
     batched on-device traceback.
 
@@ -458,10 +496,14 @@ def _triplet_walk_seg(grid_seg, amax_seg, anc_seg, des_codes, ins_off,
     )[0]
 
 
+@functools.partial(jax.jit, static_argnames=("n_cod",))
 def _triplet_traceback(grid, amax, anc_cods, des_codes, ins_off, lens_t,
                        lens_m, logP64, match_emit, gc, *, n_cod: int):
-    """Full-matrix traceback: one segment over all codon blocks.
-    Returns (run-encoded ops [6*n_cod, B] int32, i_end, j_end, score)."""
+    """Full-matrix traceback: one segment over all codon blocks, ONE
+    dispatch (the terminal pick, walk, and op assembly all trace into a
+    single executable — per-op dispatch over the tunnel dominated
+    otherwise). Returns (run-encoded ops [6*n_cod, B] int32, i_end,
+    j_end, score)."""
     B, m = des_codes.shape
     bidx = jnp.arange(B, dtype=jnp.int32)
     st0, score = triplet_terminal(
@@ -610,15 +652,21 @@ def _pack_batch(model, anc_encs, des_encs):
     )
     ins_off = cumE + ge32 * np.arange(m + 1, dtype=np.float32)[None, :]
 
-    gc = np.array([model.ng, model.gs, model.go, model.ge], np.float32)
-    # codon64-indexed entry costs (NEG at stops) — lane64 = x1*16+x2*4+x3
-    logP64 = np.full((61, 64), np.float32(NEG), np.float32)
-    logP64[:, C.COD61_TO_64] = model.logP.astype(np.float32)
-    tables = (
-        jnp.asarray(logP64),
-        jnp.asarray(model.match_emit.astype(np.float32)),
-        jnp.asarray(gc),
-    )
+    # device-resident model tables, uploaded ONCE per model instance —
+    # re-uploading three small arrays per call costs ~3 tunnel round
+    # trips (~90 ms), which dominated the 64-pair batch's host prep
+    tables = getattr(model, "_device_tables", None)
+    if tables is None:
+        gc = np.array([model.ng, model.gs, model.go, model.ge], np.float32)
+        # codon64-indexed entry costs (NEG at stops) — lane64=x1*16+x2*4+x3
+        logP64 = np.full((61, 64), np.float32(NEG), np.float32)
+        logP64[:, C.COD61_TO_64] = model.logP.astype(np.float32)
+        tables = (
+            jnp.asarray(logP64),
+            jnp.asarray(model.match_emit.astype(np.float32)),
+            jnp.asarray(gc),
+        )
+        model._device_tables = tables
     return anc_p, des_p, lens_t, lens_m, ins_off, tables, n_cod
 
 
@@ -628,31 +676,27 @@ def _decode_ops(anc, des, runs_b, i_end, j_end):
     _triplet_walk_seg) ending at (i_end, j_end); leading row-0
     insertions cover des[:j_end]. Forward order = blocks ascending,
     phases descending within each block."""
-    s0 = ["-" * j_end]
-    s1 = [des[:j_end]]
-    ia, jb = i_end, j_end
-    n_blocks = len(runs_b) // 6
-    for tb in range(n_blocks):
-        for ph in range(5, -1, -1):
-            v = int(runs_b[6 * tb + ph])
-            cnt = v >> 2
-            if cnt == 0:
-                continue
-            op = v & 3
-            if op == 0:
-                s0.append(anc[ia : ia + cnt])
-                s1.append(des[jb : jb + cnt])
-                ia += cnt
-                jb += cnt
-            elif op == 1:
-                s0.append(anc[ia : ia + cnt])
-                s1.append("-" * cnt)
-                ia += cnt
-            else:
-                s0.append("-" * cnt)
-                s1.append(des[jb : jb + cnt])
-                jb += cnt
-    return "".join(s0), "".join(s1)
+    v = np.asarray(runs_b).reshape(-1, 6)[:, ::-1].ravel()  # forward order
+    cnt = v >> 2
+    keep = cnt > 0
+    ops_run = (v & 3)[keep]
+    cnt_run = cnt[keep]
+    # one op per aligned column after the row-0 insertion prefix, then the
+    # same cumsum/scatter string build as the marginal engine
+    opsc = np.repeat(ops_run, cnt_run)
+    consume_a = opsc != 2
+    consume_b = opsc != 1
+    idx_a = np.cumsum(consume_a) - 1 + i_end
+    idx_b = np.cumsum(consume_b) - 1 + j_end
+    a_arr = np.frombuffer(anc.encode("ascii") or b"-", np.uint8)
+    b_arr = np.frombuffer(des.encode("ascii") or b"-", np.uint8)
+    dash = np.uint8(ord("-"))
+    s0 = np.where(consume_a, a_arr[np.minimum(idx_a, len(a_arr) - 1)], dash)
+    s1 = np.where(consume_b, b_arr[np.minimum(idx_b, len(b_arr) - 1)], dash)
+    return (
+        "-" * j_end + s0.tobytes().decode("ascii"),
+        des[:j_end] + s1.tobytes().decode("ascii"),
+    )
 
 
 def triplet_align_batch(model, pairs, traceback: str = "device"):
@@ -707,33 +751,40 @@ def triplet_align_batch(model, pairs, traceback: str = "device"):
                 ins_off = np.concatenate(
                     [ins_off, np.broadcast_to(ins_off[:1], (pad_b, m + 1))]
                 )
+            # one upload per array, reused by forward AND traceback
+            aj = jnp.asarray(anc_p)
+            dj = jnp.asarray(des_p)
+            io = jnp.asarray(ins_off)
             grid, amax = triplet_rows_pallas(
-                jnp.asarray(anc_p), jnp.asarray(des_p), jnp.asarray(ins_off),
-                *tables, n_cod=n_cod, bc=bc,
+                aj, dj, io, *tables, n_cod=n_cod, bc=bc,
             )
             if pad_b:
                 grid = grid[:, :, :B]
                 amax = amax[:, :, :B]
-                anc_p = anc_p[:B]
-                des_p = des_p[:B]
-                ins_off = ins_off[:B]
+                aj = aj[:B]
+                dj = dj[:B]
+                io = io[:B]
         else:
+            aj = jnp.asarray(anc_p)
+            dj = jnp.asarray(des_p)
+            io = jnp.asarray(ins_off)
             grid, amax = _triplet_rows(
-                jnp.asarray(anc_p), jnp.asarray(des_p), jnp.asarray(ins_off),
-                *tables, n_cod=n_cod
+                aj, dj, io, *tables, n_cod=n_cod
             )
 
     if traceback == "device":
         logP64_t, match_emit_t, gc_t = tables
         ops, i_end, j_end, score = _triplet_traceback(
-            grid, amax, jnp.asarray(anc_p), jnp.asarray(des_p),
-            jnp.asarray(ins_off), jnp.asarray(lens_t), jnp.asarray(lens_m),
+            grid, amax, aj, dj,
+            io, jnp.asarray(lens_t), jnp.asarray(lens_m),
             logP64_t, match_emit_t, gc_t, n_cod=n_cod
         )
-        ops = np.asarray(jax.device_get(ops))
-        i_end = np.asarray(i_end)
-        j_end = np.asarray(j_end)
-        score = np.asarray(score)
+        # ONE host fetch for all four results: each separate device_get
+        # pays a full tunnel round-trip (~30 ms) in this environment
+        ops, i_end, j_end, score = (
+            np.asarray(x)
+            for x in jax.device_get((ops, i_end, j_end, score))
+        )
         out = []
         for b, (anc, des) in enumerate(pairs):
             s0, s1 = _decode_ops(
