@@ -131,10 +131,9 @@ def _device_seconds(trace, table, gc4, M=6):
 def main() -> int:
     rng = np.random.default_rng(20260817)
     t_setup = time.time()
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        str(Path(__file__).resolve().parent / ".jax_cache"),
-    )
+    from coati_tpu.provenance import jax_cache_dir
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", jax_cache_dir())
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
     from coati_tpu.models import marginal_p, mg94_p
@@ -290,9 +289,12 @@ def main() -> int:
             lbs = [e[1] for e in le]
             ast = [p[0] for p in lp]
             bst = [p[1] for p in lp]
+            l_trace: list = []
+            _eng.CHUNK_TRACE = l_trace
             _ = viterbi_align_batch(las, lbs, ast, bst, table, gap,
                                     quantum=quantum,
                                     max_batch_cells=max_cells)  # compile
+            _eng.CHUNK_TRACE = None
             times = []
             for _p in range(2):
                 t0 = time.time()
@@ -303,15 +305,32 @@ def main() -> int:
             assert all(np.isfinite(r.score) for r in lres)
             dt_l = float(np.median(times))
             cells_l = float(sum(len(a) * len(b) for a, b in zip(las, lbs)))
-            ladder.append({
+            # device-only rate where the shapes are cheap to devloop-wrap
+            # (short buckets, where the ~30 ms tunnel round-trip dwarfs
+            # the ~5 ms of device work and wall-clock says nothing)
+            l_dev = None
+            if l_trace and all(
+                ((c["NB"] + c["k"] + 127) // 128) * 128 <= 8192
+                for c in l_trace
+            ):
+                try:
+                    l_dev, _ = _device_seconds(l_trace, table, _gca(gap))
+                except Exception:
+                    l_dev = None
+            entry = {
                 "nt": nt,
                 "n_pairs": n,
                 "cells_per_sec": round(cells_l / dt_l, 0),
                 "alignments_per_sec": round(n / dt_l, 2),
                 "pass_seconds": [round(t, 3) for t in times],
-            })
-            print(f"# ladder {nt} nt x {n}: "
-                  f"{cells_l/dt_l/1e6:.0f} Mcells/s", file=sys.stderr)
+            }
+            if l_dev:
+                entry["device_seconds"] = round(l_dev, 4)
+                entry["device_cells_per_sec"] = round(cells_l / l_dev, 0)
+            ladder.append(entry)
+            print(f"# ladder {nt} nt x {n}: {cells_l/dt_l/1e6:.0f} Mcells/s"
+                  + (f" wall, {cells_l/l_dev/1e6:.0f} device" if l_dev
+                     else ""), file=sys.stderr)
 
     # ---- sample -n throughput (ref workload align_marginal.cc:536-594:
     # one Forward fill + N stochastic tracebacks) -----------------------------

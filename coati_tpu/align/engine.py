@@ -203,6 +203,11 @@ def _pallas_bc_for(C: int, want_bp: bool) -> int | None:
         # 11k-16.5k slots: one-pass kernel at bc=4 still beats the
         # segmented two-pass path ~2x; bp stream ~2*C^2*bc B <= 2.2 GB
         return 4
+    if want_bp and C <= 30720:
+        # up to ~30k slots: single-pair chunks, bp stream <= ~1.9 GB;
+        # still ~2x the batch-of-one segmented two-pass (same sublane
+        # padding, half the sweeps)
+        return 1
     return None
 
 
@@ -731,6 +736,7 @@ def viterbi_align_batch(
     quantum: int = 96,
     max_batch_cells: int = 1 << 30,
     table_idx=None,
+    long_slots: int | None = None,
 ) -> list[AlignResult]:
     """Align many pairs: bucket by padded shape, run the wavefront kernel per
     bucket, traceback on host. Results keep input order.
@@ -756,15 +762,26 @@ def viterbi_align_batch(
         ]
         table32 = table32.reshape(-1, table32.shape[-1])
 
+    ls = LONG_PAIR_SLOTS if long_slots is None else long_slots
     buckets: dict[tuple[int, int], list[int]] = collections.defaultdict(list)
     long_pairs: list[int] = []
     for idx, (a, b) in enumerate(zip(enc_as, enc_bs)):
-        if len(b) + k > LONG_PAIR_SLOTS:
+        if len(b) + k > ls:
             long_pairs.append(idx)
             continue
         qa = max(_round_up(len(a), quantum), quantum)
         qb = max(_round_up(len(b), quantum), quantum)
         buckets[(qa, qb)].append(idx)
+    # lone/paired long-ish buckets: the FOLDED segmented sweep (slot axis
+    # spread over the spare sublanes) does 2 passes with no padding waste,
+    # beating the one-pass bucketed kernel whose bc<8 chunks sublane-pad
+    # 8/B x; the break-even is ~3 pairs per bucket
+    if long_slots is None:
+        for key in list(buckets):
+            _, qb = key
+            Cq = ((qb + k + 127) // 128) * 128
+            if Cq > PALLAS_MAX_C and len(buckets[key]) <= 2:
+                long_pairs.extend(buckets.pop(key))
 
     results: list[AlignResult | None] = [None] * len(enc_as)
     total_cells = sum(

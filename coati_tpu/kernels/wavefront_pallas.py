@@ -68,7 +68,8 @@ def _lse(a, b):
 
 def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
                  want_bp: bool, nc: int, mode: str = "viterbi",
-                 du: int = 1, n_steps: int = 0, seg: bool = False):
+                 du: int = 1, n_steps: int = 0, seg: bool = False,
+                 fold: int = 1):
     """Stacked-state kernel body: the M/D/I diagonals live as ONE ring
     plane [ring, 3, BC, C], so each step issues 2 ring reads + 2 shifts +
     a handful of stacked adds instead of 6 reads + 5 shifts + ~16 scalar-
@@ -150,17 +151,38 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
                     (ring, 3, BC, C), LOWEST, jnp.float32
                 )
 
-        j_i = jax.lax.broadcasted_iota(jnp.int32, (BC, C), 1)
+        # fold > 1: the slot axis is laid out as (fold, W) with fold along
+        # the ROW axis — row r of pair b (rows b*fold .. b*fold+fold-1)
+        # holds slots [f*W, (f+1)*W) where f = r % fold and W = C (this
+        # kernel's lane width). Slot-index-dependent logic (margins,
+        # corner capture) uses the folded jv; ring shifts pull their
+        # wrapped lanes from the previous fold row.
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (BC, C), 1)
+        if fold > 1:
+            fr = jax.lax.broadcasted_iota(jnp.int32, (BC, C), 0) % fold
+            j_i = fr * C + lane_i
+        else:
+            j_i = lane_i
         j3 = jax.lax.broadcasted_iota(jnp.int32, (nc, BC, C), 2)
         # hoisted shift-fill masks (loop-invariant)
         lane3 = jax.lax.broadcasted_iota(jnp.int32, (3, BC, C), 2)
         mask1 = lane3 < 1
         maskk = lane3 < k
+        if fold > 1:
+            row3 = jax.lax.broadcasted_iota(jnp.int32, (3, BC, C), 1)
+            first3 = (row3 % fold) == 0  # rows holding slots [0, W)
         win = gwin_ref[...]
         cap = cap_ref[...]
 
         def shift3(x, s, mask):
             rolled = pltpu.roll(x, s, axis=2)
+            if fold > 1:
+                # wrapped lanes (w < s) take x[f-1, W-s+w] from the
+                # previous fold row; fold row 0 is the true slot-0 margin
+                prev = pltpu.roll(rolled, 1, axis=1)
+                return jnp.where(
+                    mask, jnp.where(first3, LOWEST, prev), rolled
+                )
             return jnp.where(mask, LOWEST, rolled)
 
         # NOTE r4: a static-ring variant (du % ring == 0, value-carried
@@ -213,8 +235,9 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
             # --- body/margin select ------------------------------------------
             if seg:
                 # computed in place from the diagonal index (f32 formulas
-                # identical to _diag_tables)
-                jv = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+                # identical to _diag_tables); jv is the FOLDED slot index
+                # when fold > 1
+                jv = j_i
                 iv = d - jv
                 body = (iv >= k) & (iv < NA + k) & (jv >= k)
                 jf = jv.astype(jnp.float32)
@@ -227,7 +250,7 @@ def _make_kernel(k: int, NA: int, C: int, BC: int, Dtot: int, ring: int,
                 del_ok = ((jv == k - 1) & (iv >= 2 * k - 1)
                           & ((iv - (k - 1)) % k == 0))
                 mDv = jnp.where(del_ok, (ng + go) + ge * (if_ - 1.0), LOWEST)
-                mvals = jnp.stack([mMv[0], mDv[0], mIv[0]], axis=0)[:, None, :]
+                mvals = jnp.stack([mMv, mDv, mIv], axis=0)  # [3, BC, C]
                 P = jnp.where(body[None], P, mvals)
             else:
                 body = body_ref[t, 0] > 0.5  # [C]
@@ -816,14 +839,24 @@ def wavefront_pallas_stacked(
 
 # --- segmented (carried-state) sweeps for the long-pair path -----------------
 def segment_consts(aseq, bseq, lens_a, lens_b, table, gap_consts, *, k,
-                   T, code_cols=tuple(range(15))):
+                   T, code_cols=tuple(range(15)), fold: int = 1):
     """Per-pair constant arrays for segmented sweeps, padded so every
     segment slice [d0, d0 + T) is in range. O(NA + C) memory — body/margin
     values are computed in-kernel from the diagonal index. Returns
-    (consts tuple, initial carry tuple, n_seg, Dtot, NA)."""
+    (consts tuple, initial carry tuple, n_seg, Dtot, NA).
+
+    fold > 1: each pair's slot axis is laid out as (fold, W) with the fold
+    index along the kernel's row axis — a batch of B pairs occupies
+    B * fold rows. A single long pair at fold=8 fills all 8 VPU sublanes
+    instead of wasting 7 on batch padding (an 8x device-throughput win for
+    the B=1 segmented sweep); the kernel's ring shifts chain the fold rows
+    (see _make_kernel)."""
     B, NA = aseq.shape
     NB = bseq.shape[1]
-    C = ((NB + k + 127) // 128) * 128
+    q = 128 * fold
+    C = ((NB + k + q - 1) // q) * q  # W = C // fold stays lane-tiled
+    W = C // fold
+    rows = B * fold
     R = NA + k
     Dtot = R + (NB + k) - 1
     n_seg = -(-Dtot // T)
@@ -833,7 +866,17 @@ def segment_consts(aseq, bseq, lens_a, lens_b, table, gap_consts, *, k,
 
     table_sub = table[:, jnp.asarray(code_cols)]
     G = jnp.transpose(jnp.take(table_sub, aseq, axis=0), (1, 0, 2))
-    G = jnp.pad(G, ((k, Dpad - k - NA), (0, 0), (0, 0)))
+    G = jnp.pad(G, ((k, Dpad - k - NA), (0, 0), (0, 0)))  # [Dpad, B, nc]
+    if fold > 1:
+        # fold row f's fresh lane-0 slot at diagonal d is global slot f*W,
+        # whose G row is G[d - f*W] — per-row shifted copies of the stream
+        G = jnp.stack(
+            [
+                jnp.pad(G, ((f * W, 0), (0, 0), (0, 0)))[:Dpad]
+                for f in range(fold)
+            ],
+            axis=2,
+        ).reshape(Dpad, rows, nc)
 
     lut = np.full(16, 99, np.int32)
     for idx, col in enumerate(code_cols):
@@ -842,25 +885,30 @@ def segment_consts(aseq, bseq, lens_a, lens_b, table, gap_consts, *, k,
     b_slot = jnp.pad(
         bseq_m, ((0, 0), (k, C - NB - k)), constant_values=99
     ).astype(jnp.int32)
+    b_slot = b_slot.reshape(rows, W)  # (B, fold*W) -> (B*fold, W)
     oh_b = jax.nn.one_hot(b_slot, nc, axis=0, dtype=jnp.float32)
     corner_d = (lens_a + lens_b + jnp.int32(2 * (k - 1)))[:, None]
     corner_j = (lens_b + jnp.int32(k - 1))[:, None]
     cd = jnp.broadcast_to(corner_d, (B, C)).astype(jnp.int32)
     cj = jnp.broadcast_to(corner_j, (B, C)).astype(jnp.int32)
+    cd = cd.reshape(rows, W)
+    cj = cj.reshape(rows, W)
     gc = gap_consts.reshape(1, 4).astype(jnp.float32)
 
-    ring0 = jnp.full((ring, 3, B, C), LOWEST, jnp.float32)
-    gwin0 = jnp.zeros((nc, B, C), jnp.float32)
-    cap0 = jnp.full((3, B, C), LOWEST, jnp.float32)
+    ring0 = jnp.full((ring, 3, rows, W), LOWEST, jnp.float32)
+    gwin0 = jnp.zeros((nc, rows, W), jnp.float32)
+    cap0 = jnp.full((3, rows, W), LOWEST, jnp.float32)
     return ((G, oh_b, cd, cj, gc),
             (ring0, gwin0, cap0), n_seg, Dtot, NA)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "T", "want_bp", "du", "interpret", "NA")
+    jax.jit,
+    static_argnames=("k", "T", "want_bp", "du", "interpret", "NA", "fold"),
 )
 def wavefront_pallas_segment(consts, carry, d0, *, k, T, want_bp, NA,
-                             du: int = 4, interpret: bool = False):
+                             du: int = 4, interpret: bool = False,
+                             fold: int = 1):
     """Run T diagonals of the Viterbi wavefront from a carried
     (ring, emission window, corner capture) state — the VMEM-resident
     engine for the segmented O(n)-memory long-pair path. d0 is DYNAMIC
@@ -880,7 +928,8 @@ def wavefront_pallas_segment(consts, carry, d0, *, k, T, want_bp, NA,
     d0a = jnp.reshape(d0, (1, 1)).astype(jnp.int32)
 
     kernel = _make_kernel(k, NA, C, B, 0, ring, want_bp, nc,
-                          mode="viterbi", du=du, n_steps=n_steps, seg=True)
+                          mode="viterbi", du=du, n_steps=n_steps, seg=True,
+                          fold=fold)
     grid = (1, n_steps)
     full = lambda *dims: pl.BlockSpec(dims, lambda bi, g: (0,) * len(dims),
                                       memory_space=pltpu.VMEM)
@@ -939,10 +988,13 @@ def wavefront_pallas_segment(consts, carry, d0, *, k, T, want_bp, NA,
     return bp, (ring_o, gwin_o, cap_o)
 
 
-def segment_corners(cap, gap_consts):
+def segment_corners(cap, gap_consts, fold: int = 1):
     """Terminal-adjusted corner scores from the final carry's capture plane
-    (same f32 epilogue as the full kernel)."""
-    red = jnp.max(cap, axis=2)  # [3, B]
+    (same f32 epilogue as the full kernel). With fold > 1 the rows axis is
+    (B, fold) and each pair's single captured cell sits in one fold row."""
+    red = jnp.max(cap, axis=2)  # [3, rows]
+    if fold > 1:
+        red = jnp.max(red.reshape(3, -1, fold), axis=2)  # [3, B]
     ng, gs = gap_consts[0], gap_consts[1]
     cM = (red[0] + ng) + ng
     cD = red[1] + gs

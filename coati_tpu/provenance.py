@@ -33,3 +33,32 @@ def kernel_hash(repo_root: Path | None = None) -> str:
         h.update(rel.encode())
         h.update((root / rel).read_bytes())
     return h.hexdigest()
+
+
+def jax_cache_dir(repo_root: Path | None = None) -> str:
+    """Host-keyed persistent-compile-cache directory.
+
+    XLA:CPU AOT cache entries bake in the COMPILING machine's CPU feature
+    set; loading them on a host with different features warns and can
+    SIGILL (observed: a segfault in backend_compile_and_load during the
+    unit suite after another machine populated the shared cache). Keying
+    the directory by hostname + CPU flags keeps every machine's entries
+    separate."""
+    import hashlib
+    import platform
+
+    if repo_root is None:
+        repo_root = Path(__file__).resolve().parent.parent
+    try:
+        flags = ""
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    flags = line
+                    break
+    except OSError:
+        flags = platform.processor()
+    key = hashlib.sha256(
+        (platform.node() + "|" + flags).encode()
+    ).hexdigest()[:12]
+    return str(Path(repo_root) / ".jax_cache" / key)

@@ -26,7 +26,9 @@ import jax
 # the environment's axon plugin force-sets jax_platforms post-import;
 # override it so the unit suite runs on the virtual CPU mesh
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+from coati_tpu.provenance import jax_cache_dir
+
+jax.config.update("jax_compilation_cache_dir", jax_cache_dir(REPO))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np

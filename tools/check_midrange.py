@@ -17,7 +17,8 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 os.environ.setdefault("COATI_TPU_FORCE_PLATFORM", "tpu")
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+from coati_tpu.provenance import jax_cache_dir
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", jax_cache_dir(REPO))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
