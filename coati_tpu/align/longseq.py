@@ -98,9 +98,11 @@ def _round_up(x: int, q: int) -> int:
 
 
 # beyond this many padded slots the segment kernel's carried VMEM state
-# (rings + window + capture, in/out/scratch at ~0.55 KB/slot with B=1
-# sublane padding) exceeds the raised 100 MB vmem budget
-PALLAS_SEG_MAX_C = 131072
+# (rings + window + capture, in/out/scratch) exceeds the raised 100 MB
+# vmem budget. With the folded layout there is no sublane padding
+# (~0.07 KB/slot), so the envelope covers half-megabase descendants —
+# the 160 knt sampledata scale runs VMEM-resident
+PALLAS_SEG_MAX_C = 524288
 
 
 def _pad_group(enc_as, enc_bs, quantum: int):

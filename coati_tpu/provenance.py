@@ -40,11 +40,16 @@ def jax_cache_dir(repo_root: Path | None = None) -> str:
 
     XLA:CPU AOT cache entries bake in the COMPILING machine's CPU feature
     set; loading them on a host with different features warns and can
-    SIGILL (observed: a segfault in backend_compile_and_load during the
-    unit suite after another machine populated the shared cache). Keying
-    the directory by hostname + CPU flags keeps every machine's entries
-    separate."""
+    SIGILL (observed: segfaults in backend_compile_and_load and
+    _cache_read during the unit suite). Two contamination paths exist:
+    another machine populating a shared checkout's cache, and — subtler —
+    the axon TPU plugin routing even CPU-backend compiles through its
+    REMOTE compile helper, whose machine differs from this host. Key the
+    directory by hostname + CPU flags + the process's JAX_PLATFORMS
+    setting, so the CPU-pinned unit suite (locally-compiled entries only)
+    never reads entries written by a TPU-tunnel process."""
     import hashlib
+    import os
     import platform
 
     if repo_root is None:
@@ -58,7 +63,8 @@ def jax_cache_dir(repo_root: Path | None = None) -> str:
                     break
     except OSError:
         flags = platform.processor()
+    plats = os.environ.get("JAX_PLATFORMS", "any")
     key = hashlib.sha256(
-        (platform.node() + "|" + flags).encode()
+        (platform.node() + "|" + plats + "|" + flags).encode()
     ).hexdigest()[:12]
     return str(Path(repo_root) / ".jax_cache" / key)

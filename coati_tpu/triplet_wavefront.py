@@ -581,6 +581,8 @@ def triplet_align_long(model, anc: str, des: str, *, seg_cods: int = 512):
         3 * jnp.asarray(lens_t), jnp.asarray(lens_m), st0,
         jnp.zeros((6 * n_cod, 1), jnp.int32),
     )
+    # async-chained: no per-segment early-exit sync (the walk traverses
+    # every codon block anyway; each device_get costs a tunnel round-trip)
     for k in range(len(seg_spans) - 1, -1, -1):
         t_lo, S_i = seg_spans[k]
         bnd, amax, _ = _triplet_rows_carry(
@@ -594,19 +596,13 @@ def triplet_align_long(model, anc: str, des: str, *, seg_cods: int = 512):
             grid_seg, amax, aj[:, t_lo : t_lo + S_i], dj, io,
             jnp.int32(t_lo), state, logP64_t, me_t, gc_t, S=S_i,
         )
-        i_cur, j_cur = state[0], state[1]
-        if bool(np.asarray(jax.device_get(
-            (i_cur <= 0) & (j_cur <= 0)
-        )).all()):
-            break
 
     i, j, _, ops = state
-    ops_h = np.asarray(jax.device_get(ops))
-    s0, s1 = _decode_ops(
-        anc, des, ops_h[:, 0],
-        int(np.asarray(i)[0]), int(np.asarray(j)[0]),
+    ops_h, i_h, j_h, score_h = (
+        np.asarray(x) for x in jax.device_get((ops, i, j, score))
     )
-    return s0, s1, float(-np.asarray(score)[0])
+    s0, s1 = _decode_ops(anc, des, ops_h[:, 0], int(i_h[0]), int(j_h[0]))
+    return s0, s1, float(-score_h[0])
 
 
 def triplet_boundaries_batch(model, anc_encs, des_encs):
