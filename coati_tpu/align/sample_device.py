@@ -53,11 +53,12 @@ def _sample_paths(Ms, Ds, Is, enc_a, enc_b, table, gc4, key, *, k, n_steps,
 
     # one stacked state volume: each walk step gathers the (M, D, I)
     # triple at a coordinate with ONE gather instead of three (the scan is
-    # gather-latency-bound, not bandwidth-bound)
-    S3 = jnp.stack([Ms, Ds, Is], axis=-1)  # [Dtot, C, 3]
+    # gather-latency-bound, not bandwidth-bound); padded to 4 lanes so the
+    # gathered vector is power-of-two aligned
+    S3 = jnp.stack([Ms, Ds, Is, Is], axis=-1)  # [Dtot, C, 4]
 
     def val3(i, j):
-        return S3[i + j, j]  # [N, 3]
+        return S3[i + j, j]  # [N, 4]; lane 3 unused
 
     def val(S, i, j):
         return S[i + j, j]
@@ -147,7 +148,7 @@ def _sample_paths(Ms, Ds, Is, enc_a, enc_b, table, gc4, key, *, k, n_steps,
     # bound (each step is ~5 small gathers over [N] lanes); unrolling
     # amortizes it. Finished walks no-op through padding steps, and the
     # per-step key stream is identical to the unrolled-by-1 form.
-    U = 4
+    U = 8
     pad = (-n_steps) % U
     if pad:
         keys = jnp.concatenate([keys, keys[-1:].repeat(pad, axis=0)])

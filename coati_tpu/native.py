@@ -195,3 +195,53 @@ def sample_anchor(enc_a, enc_b, table, gap, n_samples: int,
     return float(lib.coati_sample_anchor(
         a, len(a), b, len(b), t, np.float32(gap.open),
         np.float32(gap.extend), gap.len, int(n_samples), seed))
+
+
+def sampleback_batch(enc_a, enc_b, table, gap, a: str, b: str, n: int,
+                     rng):
+    """Host sampling path: Forward fill + n stochastic tracebacks drawing
+    from `rng` (coati_tpu.rng.Lehmer64, state threaded through C and
+    written back). Walk semantics mirror oracle.sampleback_mdi; op
+    decoding reuses the device sampler's decoder. Returns a list of
+    (s0, s1, score)."""
+    import ctypes as _ct
+
+    from coati_tpu.align.sample_device import decode_sample_ops
+
+    lib = _load()
+    if not hasattr(lib, "coati_sampleback"):
+        raise OSError("libcoatihmm.so predates coati_sampleback; "
+                      "run make -C native clean all")
+    if not hasattr(lib.coati_sampleback, "_argtypes_set"):
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.coati_sampleback.restype = None
+        lib.coati_sampleback.argtypes = [
+            i32p, _ct.c_int, i32p, _ct.c_int, f32p,
+            _ct.c_float, _ct.c_float, _ct.c_int, _ct.c_int,
+            np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS"),
+            _ct.c_int, f32p,
+        ]
+        lib.coati_sampleback._argtypes_set = True
+    ea = np.ascontiguousarray(enc_a, dtype=np.int32)
+    eb = np.ascontiguousarray(enc_b, dtype=np.int32)
+    t = np.ascontiguousarray(table, dtype=np.float32)
+    k = int(gap.len)
+    steps_cap = len(ea) + len(eb) + 2
+    ops = np.empty((steps_cap, n), np.int8)
+    scores = np.empty(n, np.float32)
+    state = np.array(
+        [rng.state & 0xFFFFFFFFFFFFFFFF, rng.state >> 64], np.uint64
+    )
+    lib.coati_sampleback(
+        ea, len(ea), eb, len(eb), t, np.float32(gap.open),
+        np.float32(gap.extend), k, int(n), state, ops, steps_cap, scores,
+    )
+    rng.state = int(state[0]) | (int(state[1]) << 64)
+    # ops are in walk (backward) order; the native string builder takes
+    # forward order and skips -1 padding — one pass for all n samples
+    pairs = ops_to_strings_native(ops[::-1], [a] * n, [b] * n, k)
+    return [
+        (s0, s1, float(scores[s])) for s, (s0, s1) in enumerate(pairs)
+    ]

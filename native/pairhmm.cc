@@ -13,6 +13,7 @@
 // float32 arithmetic and operation order mirror the reference exactly, so
 // results are bit-identical to the Python oracle.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -157,6 +158,24 @@ float forward_impl(const int32_t* a, int na, const int32_t* b, int nb,
   return score;
 }
 
+// Lehmer 128-bit-state MCG, bit-compatible with coati_tpu.rng.Lehmer64
+// (O'Neill's lehmer64_fast — the reference's fragmites stream): state is
+// seeded (state | 1), each draw multiplies by 0xDA942042E4DD58B5 and the
+// f24 takes the top 24 bits of the high word.
+struct Lehmer128 {
+  unsigned __int128 state;
+  explicit Lehmer128(uint64_t lo, uint64_t hi) {
+    state = ((static_cast<unsigned __int128>(hi) << 64) | lo) | 1;
+  }
+  inline uint64_t bits() {
+    state *= 0xDA942042E4DD58B5ULL;
+    return static_cast<uint64_t>(state >> 64);
+  }
+  inline float f24() {
+    return static_cast<float>(bits() >> 40) * (1.0f / 16777216.0f);
+  }
+};
+
 // xorshift-style 64-bit generator + 24-bit float draw, the same cost
 // profile as the reference's fragmites f24 (align_pair.cc:401-458 draws
 // one f24 per sampled edge).
@@ -177,6 +196,151 @@ struct Rand64 {
 }  // namespace
 
 extern "C" {
+
+// Production host sampling path: ONE full Forward (log) fill + n
+// stochastic tracebacks drawing from a caller-threaded Lehmer64 f24
+// stream (the reference's fragmites generator). The walk mirrors
+// align/oracle.py sampleback_mdi operation-for-operation (f32 chains,
+// margin copy semantics, 3-way M/D draws and 2-way I draws), so for any
+// draw stream it traverses the same distribution; op codes are emitted in
+// walk order (-1 padded) in the device sampler's [steps_cap, n] layout.
+// rng_state: uint64[2] little-endian halves of the 128-bit Lehmer state,
+// updated in place.
+void coati_sampleback(const int32_t* a, int na, const int32_t* b, int nb,
+                      const float* table, float gap_open, float gap_extend,
+                      int k, int n_samples, uint64_t* rng_state,
+                      int8_t* ops_out, int steps_cap, float* scores_out) {
+  GapConsts g = gap_consts(gap_open, gap_extend, k);
+  const int R = na + k;
+  const int C = nb + k;
+  std::vector<float> M(static_cast<size_t>(R) * C, kLowest);
+  std::vector<float> D(static_cast<size_t>(R) * C, kLowest);
+  std::vector<float> I(static_cast<size_t>(R) * C, kLowest);
+  auto at = [C](std::vector<float>& X, int i, int j) -> float& {
+    return X[static_cast<size_t>(i) * C + j];
+  };
+
+  const int start = k - 1;
+  at(M, start, start) = 0.0f;
+  for (int j = start + k; j < C; j += k)
+    at(I, start, j) = g.go + g.ge * static_cast<float>(j - 1);
+  for (int i = start + k; i < R; i += k)
+    at(D, i, start) = (g.ng + g.go) + g.ge * static_cast<float>(i - 1);
+  for (int i = k; i < R; ++i) {
+    const float* trow = table + static_cast<size_t>(a[i - k]) * 15;
+    for (int j = k; j < C; ++j) {
+      const float sub = trow[b[j - k]];
+      at(M, i, j) = lse(
+          lse(((at(M, i - 1, j - 1) + g.ng) + g.ng) + sub,
+              (at(D, i - 1, j - 1) + g.gs) + sub),
+          ((at(I, i - 1, j - 1) + g.gs) + g.ng) + sub);
+      at(D, i, j) = lse(
+          lse(((at(M, i - k, j) + g.ng) + g.go) + g.gek1,
+              at(D, i - k, j) + g.gek),
+          ((at(I, i - k, j) + g.gs) + g.go) + g.gek1);
+      at(I, i, j) = lse((at(M, i, j - k) + g.go) + g.gek1,
+                        at(I, i, j - k) + g.gek);
+    }
+  }
+
+  Lehmer128 rng(rng_state[0], rng_state[1]);
+  // categorical draws, f32 chains identical to oracle._sample_mdi/_mi
+  auto sample3 = [&](float lm, float ld, float li, int* pick) -> float {
+    const float m = std::exp(lm), d = std::exp(ld), i2 = std::exp(li);
+    const float scale = (m + d) + i2;
+    const float p = rng.f24() * scale;
+    float chosen;
+    if (p < m) {
+      *pick = 0;
+      chosen = lm;
+    } else if (p < (d + m)) {
+      *pick = 1;
+      chosen = ld;
+    } else {
+      *pick = 2;
+      chosen = li;
+    }
+    return chosen - std::log(scale);
+  };
+  auto sample2 = [&](float lm, float li, int* pick) -> float {
+    const float m = std::exp(lm), i2 = std::exp(li);
+    const float scale = m + i2;
+    const float p = rng.f24() * scale;
+    float chosen;
+    if (p < m) {
+      *pick = 0;
+      chosen = lm;
+    } else {
+      *pick = 2;
+      chosen = li;
+    }
+    return chosen - std::log(scale);
+  };
+
+  std::fill(ops_out,
+            ops_out + static_cast<size_t>(steps_cap) * n_samples,
+            int8_t(-1));
+  // terminal-adjusted corners written back into the planes, exactly like
+  // driver._forward_mdi does for the oracle walk
+  at(M, R - 1, C - 1) = (at(M, R - 1, C - 1) + g.ng) + g.ng;
+  at(D, R - 1, C - 1) = at(D, R - 1, C - 1) + g.gs;
+  at(I, R - 1, C - 1) = (at(I, R - 1, C - 1) + g.gs) + g.ng;
+  const float cm = at(M, R - 1, C - 1);
+  const float cd = at(D, R - 1, C - 1);
+  const float ci = at(I, R - 1, C - 1);
+  const float w0 = fmax2(fmax2(cm, cd), ci);
+  for (int s = 0; s < n_samples; ++s) {
+    int pick;
+    float score = sample3(cm - w0, cd - w0, ci - w0, &pick);
+    int i = R - 1, j = C - 1, step = 0;
+    while ((j > k - 1 || i > k - 1) && step < steps_cap) {
+      ops_out[static_cast<size_t>(step) * n_samples + s] =
+          static_cast<int8_t>(pick);
+      ++step;
+      const bool body = (i >= k && j >= k);
+      if (pick == 0) {
+        const float w = at(M, i, j);
+        float mm = kLowest, dm = kLowest, im = kLowest;
+        if (body) {
+          const float sub =
+              table[static_cast<size_t>(a[i - k]) * 15 + b[j - k]];
+          mm = ((at(M, i - 1, j - 1) + g.ng) + g.ng) + sub;
+          dm = (at(D, i - 1, j - 1) + g.gs) + sub;
+          im = ((at(I, i - 1, j - 1) + g.gs) + g.ng) + sub;
+        }
+        score += sample3(mm - w, dm - w, im - w, &pick);
+        --i;
+        --j;
+      } else if (pick == 1) {
+        const float w = at(D, i, j);
+        float md = kLowest, dd, id_ = kLowest;
+        if (body) {
+          md = ((at(M, i - k, j) + g.ng) + g.go) + g.gek1;
+          dd = at(D, i - k, j) + g.gek;
+          id_ = ((at(I, i - k, j) + g.gs) + g.go) + g.gek1;
+        } else {
+          dd = at(D, i, j);  // init_margins copy semantics
+        }
+        score += sample3(md - w, dd - w, id_ - w, &pick);
+        i -= k;
+      } else {
+        const float w = at(I, i, j);
+        float mi = kLowest, ii;
+        if (body) {
+          mi = (at(M, i, j - k) + g.go) + g.gek1;
+          ii = at(I, i, j - k) + g.gek;
+        } else {
+          ii = at(I, i, j);
+        }
+        score += sample2(mi - w, ii - w, &pick);
+        j -= k;
+      }
+    }
+    scores_out[s] = score;
+  }
+  rng_state[0] = static_cast<uint64_t>(rng.state);
+  rng_state[1] = static_cast<uint64_t>(rng.state >> 64);
+}
 
 // Reference-equivalent sampling workload anchor (align_marginal.cc:536-594):
 // ONE full Forward (log) fill with stored M/D/I planes, then n_samples

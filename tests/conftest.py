@@ -42,3 +42,21 @@ def mg94_table():
 
     pi = (0.308, 0.185, 0.199, 0.308)
     return marginal_p(mg94_p(0.0133, 0.2, pi), pi).astype(np.float32)
+
+
+# The full suite deterministically segfaulted/aborted inside XLA:CPU
+# compile/cache-load (always at the same test, ~1000 compiled executables
+# into the process; any large SUBSET of the suite passes). Dropping the
+# in-memory executable caches at module boundaries keeps the loaded-code
+# population bounded; the host-keyed persistent disk cache makes the
+# recompiles cheap.
+import pytest as _pytest
+
+
+@_pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()

@@ -165,22 +165,25 @@ def test_sample_device_deterministic_and_chunked():
         assert s0.replace("-", "") == anc and s1.replace("-", "") == des
 
 
-def test_marg_sample_large_input_routes_to_device(tmp_path, monkeypatch):
-    """Above the small-input threshold, marg_sample batches all tracebacks
-    through the device sampler; stream output stays a valid JSON array."""
+def test_marg_sample_mid_input_routes_to_native(tmp_path, monkeypatch):
+    """Mid-size inputs (<= 4M cells) batch all tracebacks through the
+    native Lehmer-stream sampler; stream output stays a valid JSON
+    array."""
     import json
 
-    import coati_tpu.align.sample_device as sd
+    from coati_tpu import native
     from coati_tpu.cli import main
 
+    if not native.available():
+        pytest.skip("native pairhmm library not built")
     calls = []
-    orig = sd.sample_batch_device
+    orig = native.sampleback_batch
 
     def spy(*args, **kw):
         calls.append(1)
         return orig(*args, **kw)
 
-    monkeypatch.setattr(sd, "sample_batch_device", spy)
+    monkeypatch.setattr(native, "sampleback_batch", spy)
 
     from coati_tpu.constants import CODONS61
 
@@ -199,3 +202,75 @@ def test_marg_sample_large_input_routes_to_device(tmp_path, monkeypatch):
         s0, s1 = rec["alignment"].values()
         assert s0.replace("-", "") == anc
         assert s1.replace("-", "") == des
+
+
+def test_marg_sample_large_input_routes_to_device(tmp_path, monkeypatch):
+    """Above the native threshold (> 4M cells), marg_sample batches all
+    tracebacks through the device sampler."""
+    import json
+
+    import coati_tpu.align.sample_device as sd
+    from coati_tpu.cli import main
+
+    calls = []
+    orig = sd.sample_batch_device
+
+    def spy(*args, **kw):
+        calls.append(1)
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(sd, "sample_batch_device", spy)
+
+    from coati_tpu.constants import CODONS61
+
+    rng = np.random.default_rng(5)
+    anc = "".join(rng.choice(np.array(CODONS61), size=700))  # 2100 nt
+    des = anc[:1000] + anc[1020:]
+    inp = tmp_path / "huge.fasta"
+    inp.write_text(f">a\n{anc}\n>b\n{des}\n")
+    out = tmp_path / "s.json"
+    rc = main(["sample", str(inp), "-n", "4", "-s", "11",
+               "-o", str(out)])
+    assert rc == 0
+    arr = json.loads(out.read_text())
+    assert len(arr) == 4 and calls
+    for rec in arr:
+        s0, s1 = rec["alignment"].values()
+        assert s0.replace("-", "") == anc
+        assert s1.replace("-", "") == des
+
+
+def test_native_sampleback_stream_exact_vs_oracle():
+    """The native C++ sampling walk consumes the SAME Lehmer64 f24 stream
+    as oracle.sampleback_mdi and reproduces every sampled path exactly
+    (this is what lets marg_sample route mid-size inputs to native with
+    full reference seed parity)."""
+    from coati_tpu import native
+    from coati_tpu.align import oracle
+    from coati_tpu.driver import _forward_mdi
+    from coati_tpu.rng import Lehmer64
+
+    if not native.available():
+        pytest.skip("native pairhmm library not built")
+    aln = _mk_aln()
+    anc, des = "CTCTGGATAGTG", "CTATAGTG"
+    from coati_tpu.utils import encode_marginal
+
+    enc_a, enc_b = encode_marginal(anc, des)
+    N = 500
+
+    rng_n = Lehmer64()
+    nat = native.sampleback_batch(
+        enc_a, enc_b, aln.subst_matrix, aln.gap, anc, des, N, rng_n
+    )
+    M, D, I = _forward_mdi(enc_a, enc_b, aln)
+    rng_o = Lehmer64()
+    host = [
+        oracle.sampleback_mdi(M, D, I, enc_a, enc_b, aln.subst_matrix,
+                              anc, des, aln.gap, rng_o)
+        for _ in range(N)
+    ]
+    assert rng_n.state == rng_o.state  # identical draw consumption
+    for (n0, n1, ns), (h0, h1, hs) in zip(nat, host):
+        assert (n0, n1) == (h0, h1)
+        assert ns == pytest.approx(hs, abs=1e-5)
