@@ -366,6 +366,21 @@ def main() -> int:
     print(f"# sample: {n_samples} tracebacks of {sample_nt} nt pair, "
           f"{samples_per_s:.0f} samples/s", file=sys.stderr)
 
+    # the PRODUCTION route for this size (driver.marg_sample): native
+    # Lehmer-stream sampleback — what a CLI `sample` user actually gets
+    samples_prod = None
+    if native.available():
+        from coati_tpu.rng import Lehmer64
+
+        native.sampleback_batch(se_a, se_b, table, gap, sp[0], sp[1], 8,
+                                Lehmer64())  # warm
+        t0 = time.time()
+        native.sampleback_batch(se_a, se_b, table, gap, sp[0], sp[1],
+                                n_samples, Lehmer64())
+        samples_prod = n_samples / (time.time() - t0)
+        print(f"# sample production route (native Lehmer): "
+              f"{samples_prod:.0f} samples/s", file=sys.stderr)
+
     # native single-thread anchor for the SAME workload (one Forward fill
     # + N stochastic tracebacks, the reference's sampling loop shape,
     # align_marginal.cc:536-594) — the sample metric's baseline column
@@ -488,6 +503,9 @@ def main() -> int:
         "samples_per_sec": round(samples_per_s, 1),
         "sample_n": n_samples,
         "sample_nt": sample_nt,
+        "samples_production_per_sec": (
+            round(samples_prod, 1) if samples_prod else None
+        ),
         "samples_baseline_per_sec": (
             round(samples_base, 1) if samples_base else None
         ),

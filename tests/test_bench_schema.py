@@ -41,6 +41,7 @@ def test_bench_quick_json_schema():
         "baseline_cells_per_sec", "triplet_cells_per_sec",
         "triplet_long_cells_per_sec", "longpair_cells_per_sec",
         "samples_per_sec", "sample_n", "sample_nt",
+        "samples_production_per_sec",
         "samples_baseline_per_sec", "samples_vs_baseline",
         "sample_long_per_sec", "sample_long_n", "sample_long_nt",
         "sample_long_vs_baseline",
