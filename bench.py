@@ -258,12 +258,17 @@ def main() -> int:
     # even when tunnel congestion swamps wall-clock.
     from coati_tpu.align.wavefront import gap_consts_array as _gca
 
-    device_seconds, device_breakdown = _device_seconds(
-        chunk_trace, table, _gca(gap)
-    )
-    print(f"# device-only: {device_seconds:.3f}s/pass over "
-          f"{len(chunk_trace)} chunks (wall median {dt:.3f}s)",
-          file=sys.stderr)
+    try:
+        device_seconds, device_breakdown = _device_seconds(
+            chunk_trace, table, _gca(gap)
+        )
+        print(f"# device-only: {device_seconds:.3f}s/pass over "
+              f"{len(chunk_trace)} chunks (wall median {dt:.3f}s)",
+              file=sys.stderr)
+    except Exception as exc:  # telemetry must not kill the benchmark
+        device_seconds, device_breakdown = None, []
+        print(f"# device-only estimate failed: {type(exc).__name__}: "
+              f"{exc}", file=sys.stderr)
 
     aln_per_s = N_PAIRS / dt
     cells_per_s = true_cells / dt
@@ -518,7 +523,9 @@ def main() -> int:
         "sample_long_vs_baseline": (
             round(sample_long_vs_base, 2) if sample_long_vs_base else None
         ),
-        "device_seconds": round(device_seconds, 3),
+        "device_seconds": (
+            round(device_seconds, 3) if device_seconds else None
+        ),
         "device_chunk_breakdown": device_breakdown,
         "ladder": ladder,
         "device": str(dev),

@@ -201,13 +201,11 @@ def _pallas_bc_for(C: int, want_bp: bool) -> int | None:
         return 8
     if want_bp and C <= 16512:
         # 11k-16.5k slots: one-pass kernel at bc=4 still beats the
-        # segmented two-pass path ~2x; bp stream ~2*C^2*bc B <= 2.2 GB
+        # segmented two-pass path ~2x for full batches; bp stream
+        # ~2*C^2*bc B <= 2.2 GB. Beyond this the kernel fails to compile
+        # (measured r5: bc=1 at 29.5k slots fails for du 8 and 4) and the
+        # folded segmented path is faster anyway.
         return 4
-    if want_bp and C <= 30720:
-        # up to ~30k slots: single-pair chunks, bp stream <= ~1.9 GB;
-        # still ~2x the batch-of-one segmented two-pass (same sublane
-        # padding, half the sweeps)
-        return 1
     return None
 
 
@@ -647,7 +645,11 @@ def _align_step(aseq, bseq, la, lb, table32, gc, k, dev, fetch=True,
                 continue
             rows = _round_up(-(-B0 // r), bc0)
             pad = r * rows - B0
-            if rows >= bc0 and pad <= max(bc0, int(0.15 * B0)):
+            # r <= B0//2 or pad == 0: at the bc<8 tiers a lone-pair chunk
+            # could otherwise "stack" with a dummy pair — a strictly
+            # longer sweep and a bigger bp stream than not stacking
+            if (rows >= bc0 and pad <= max(bc0, int(0.15 * B0))
+                    and (r <= B0 // 2 or pad == 0)):
                 stack_R0 = r
                 break
     ladder = []
@@ -664,10 +666,15 @@ def _align_step(aseq, bseq, la, lb, table32, gc, k, dev, fetch=True,
 
     packed = aux = None
     for li, (up, bc_t, du_t, sr_t) in enumerate(ladder):
+        tlen = len(CHUNK_TRACE) if CHUNK_TRACE is not None else 0
         try:
             packed, aux = attempt(up, bc_t, du_t, sr_t)
             break
         except Exception as exc:
+            # drop the failed attempt's telemetry record (the bench's
+            # device-time estimator replays traced configs verbatim)
+            if CHUNK_TRACE is not None:
+                del CHUNK_TRACE[tlen:]
             last = li == len(ladder) - 1
             if last or not _is_compile_failure(exc):
                 raise
@@ -861,7 +868,13 @@ def viterbi_align_batch(
             if groups:
                 head = groups[-1][0]
                 head_size = len(enc_as[head]) + len(enc_bs[head])
-                width = long_batch_width(len(enc_bs[head]), k)
+                # width from the widest descendant the group would have
+                # AFTER adding this pair (members sorted by total size
+                # can still carry a larger NB than the head)
+                nb_max = max(
+                    len(enc_bs[i]) for i in groups[-1] + [idx]
+                )
+                width = long_batch_width(nb_max, k)
                 # only group pairs close enough in size that padding to
                 # the group max wastes < ~half the sweep
                 if len(groups[-1]) < width and size >= 0.7 * head_size:

@@ -293,7 +293,9 @@ def long_batch_width(nb: int, k: int = 1, seg_diagonals: int = 4096,
     C = NB + k
     Dtot = C + NB + 2 * k  # ~worst case NA ~ NB
     n_seg = -(-Dtot // seg_diagonals)
-    per_b = n_seg * 16 * C * 4
+    # per-pair checkpoint planes: ring (up to 4 at k=3) x 3 states + up
+    # to 15 emission-window code planes + 3 capture planes = 30; use 32
+    per_b = n_seg * 32 * C * 4
     return max(1, min(LONG_BATCH_MAX, LONG_CKPT_BYTES // max(per_b, 1)))
 
 

@@ -484,7 +484,6 @@ def triplet_walk_pallas(grid_seg, amax_seg, cost_rows, E4, ins_off, t_lo,
     ).astype(jnp.int32)[:, :, None]
 
     kernel = _make_walk_kernel(B, Cc, Kk, n_groups, S)
-    rev = lambda g: (n_groups - 1 - g,)
     ops, st_out = pl.pallas_call(
         kernel,
         grid=(n_groups,),

@@ -201,12 +201,10 @@ def sampleback_batch(enc_a, enc_b, table, gap, a: str, b: str, n: int,
                      rng):
     """Host sampling path: Forward fill + n stochastic tracebacks drawing
     from `rng` (coati_tpu.rng.Lehmer64, state threaded through C and
-    written back). Walk semantics mirror oracle.sampleback_mdi; op
-    decoding reuses the device sampler's decoder. Returns a list of
-    (s0, s1, score)."""
+    written back). Walk semantics mirror oracle.sampleback_mdi; strings
+    are built for all n samples in one native pass (coati_ops_to_strings).
+    Returns a list of (s0, s1, score)."""
     import ctypes as _ct
-
-    from coati_tpu.align.sample_device import decode_sample_ops
 
     lib = _load()
     if not hasattr(lib, "coati_sampleback"):

@@ -242,6 +242,9 @@ def _triplet_walk_seg(grid_seg, amax_seg, anc_seg, des_codes, ins_off,
     identical 6-phase structure VMEM-resident), XLA scan on CPU or with
     COATI_TPU_TRI_WALK=xla. Identical ops/state by construction (asserted
     in interpret mode by tests/test_triplet.py)."""
+    # NOTE: this dispatch happens at TRACE time — callers are jitted and
+    # cache on shapes, so the env knob and backend are effectively
+    # process-level (set COATI_TPU_TRI_WALK before the first triplet call)
     use_pallas = (
         _os.environ.get("COATI_TPU_TRI_WALK", "pallas") == "pallas"
         and jax.default_backend() != "cpu"
@@ -648,12 +651,23 @@ def _pack_batch(model, anc_encs, des_encs):
     )
     ins_off = cumE + ge32 * np.arange(m + 1, dtype=np.float32)[None, :]
 
-    # device-resident model tables, uploaded ONCE per model instance —
-    # re-uploading three small arrays per call costs ~3 tunnel round
-    # trips (~90 ms), which dominated the 64-pair batch's host prep
-    tables = getattr(model, "_device_tables", None)
-    if tables is None:
-        gc = np.array([model.ng, model.gs, model.go, model.ge], np.float32)
+    # device-resident model tables, uploaded ONCE per model PARAMETER SET
+    # (keyed on a fingerprint of the numeric tables, so mutating a model
+    # in place invalidates the cache) — re-uploading three small arrays
+    # per call costs ~3 tunnel round trips (~90 ms), which dominated the
+    # 64-pair batch's host prep
+    import hashlib
+
+    gc = np.array([model.ng, model.gs, model.go, model.ge], np.float32)
+    fp = hashlib.sha256(
+        np.ascontiguousarray(model.logP).tobytes()
+        + np.ascontiguousarray(model.match_emit).tobytes()
+        + gc.tobytes()
+    ).hexdigest()
+    cached = getattr(model, "_device_tables", None)
+    if cached is not None and cached[0] == fp:
+        tables = cached[1]
+    else:
         # codon64-indexed entry costs (NEG at stops) — lane64=x1*16+x2*4+x3
         logP64 = np.full((61, 64), np.float32(NEG), np.float32)
         logP64[:, C.COD61_TO_64] = model.logP.astype(np.float32)
@@ -662,7 +676,7 @@ def _pack_batch(model, anc_encs, des_encs):
             jnp.asarray(model.match_emit.astype(np.float32)),
             jnp.asarray(gc),
         )
-        model._device_tables = tables
+        model._device_tables = (fp, tables)
     return anc_p, des_p, lens_t, lens_m, ins_off, tables, n_cod
 
 

@@ -150,9 +150,7 @@ def test_pallas_bc_for_thresholds():
     assert _pallas_bc_for(11264, want_bp=True) == 8
     assert _pallas_bc_for(12000, want_bp=True) == 4
     assert _pallas_bc_for(16512, want_bp=True) == 4
-    assert _pallas_bc_for(17000, want_bp=True) == 1
-    assert _pallas_bc_for(30720, want_bp=True) == 1
-    assert _pallas_bc_for(31000, want_bp=True) is None
+    assert _pallas_bc_for(17000, want_bp=True) is None
     assert _pallas_bc_for(12000, want_bp=False) == 8
     assert _pallas_bc_for(32768, want_bp=False) is None
 

@@ -82,26 +82,49 @@ def main() -> int:
         t0 = time.time()
         seg = viterbi_align_long_batch(eas, ebs, ancs, dess, table, gap)
         dt_seg = time.time() - t0
+        # force the DIRECT bc<=4 full-bp kernel tiers (production routes
+        # these sizes to the folded segmented path for <=2-pair groups,
+        # so this leg is the tiers' on-TPU validation)
+        direct = dt_dir = None
+        from coati_tpu.align.engine import _pallas_bc_for
+
+        Cq = ((max(len(b) for b in ebs) + 1 + 127) // 128) * 128
+        if _pallas_bc_for(Cq, True) is not None:
+            viterbi_align_batch(eas, ebs, ancs, dess, table, gap,
+                                long_slots=1 << 62)  # warm
+            t0 = time.time()
+            direct = viterbi_align_batch(eas, ebs, ancs, dess, table, gap,
+                                         long_slots=1 << 62)
+            dt_dir = time.time() - t0
 
         ok = all(
             (e.seq0, e.seq1) == (s.seq0, s.seq1)
             and abs(e.score - s.score) < 1e-2
             for e, s in zip(eng, seg)
         )
+        dir_ok = "n/a"
+        if direct is not None:
+            dir_ok = all(
+                (e.seq0, e.seq1) == (d.seq0, d.seq1)
+                and abs(e.score - d.score) < 1e-2
+                for e, d in zip(eng, direct)
+            )
         nat_ok = "n/a"
         if anchors:
             nat_ok = all(
                 (e.seq0, e.seq1) == (n0, n1) and abs(e.score - ns) < 1e-2
                 for e, (n0, n1, ns) in zip(eng, anchors)
             )
+        dir_s = (f" | direct {dt_dir:.2f}s ({cells/dt_dir/1e9:.2f} G) "
+                 f"dir==eng {dir_ok}" if direct is not None else "")
         print(
             f"{label} x{n_pairs}: engine {dt_eng:.2f}s "
             f"({cells/dt_eng/1e9:.2f} G) | segmented {dt_seg:.2f}s "
-            f"({cells/dt_seg/1e9:.2f} G) | eng==seg {ok} | eng==native "
-            f"{nat_ok}",
+            f"({cells/dt_seg/1e9:.2f} G){dir_s} | eng==seg {ok} | "
+            f"eng==native {nat_ok}",
             flush=True,
         )
-        if not ok or nat_ok is False:
+        if not ok or nat_ok is False or dir_ok is False:
             return 1
     return 0
 
